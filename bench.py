@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark (single chip).
+
+Times the full jitted BAT training step (render + joint VJP + both Adam
+updates) at the Blender headline configuration's dominant phase — final
+grid resolution, sharp (post-annealing) regime — and reports rays/sec.
+
+Prints ONE JSON line:
+  {"metric": "rays_per_sec_train", "value": N, "unit": "rays/s",
+   "vs_baseline": N / BASELINE_RAYS_PER_SEC}
+
+BASELINE_RAYS_PER_SEC is the estimated CUDA-reference throughput of the
+same workload (see BENCH_NOTES.md for the derivation; the reference repo
+publishes no numbers, BASELINE.md "Quality numbers").
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Estimated reference (1x RTX3090-class GPU) training throughput for
+# bat_blender_VM: 2048 rays/iter; see BENCH_NOTES.md.
+BASELINE_RAYS_PER_SEC = 12000.0
+
+
+def main():
+    from joint_tensorf_tpu.utils import setup_jax
+    setup_jax()
+
+    import jax
+    import jax.numpy as jnp
+
+    from joint_tensorf_tpu.models import vm as vm_lib
+    from joint_tensorf_tpu.train.step import (StepConfig, StepScalars,
+                                              init_train_state,
+                                              make_train_step)
+
+    # Headline-config shapes (bat_blender_VM.yaml): 100 views at 400x400,
+    # density ranks [16]*3, color [48]*3, MLP_Fea h=64, 2048 rays,
+    # final-resolution grid (post-shrink ~300^3), n_samples capped at 1000.
+    n_views, H, W = 100, 400, 400
+    res = (300, 300, 300)
+    n_rays_total = 2048
+    n_samples = 1000
+
+    vm_cfg = vm_lib.VMConfig()  # defaults match the Blender config
+    head = vm_cfg.shading_head()
+    aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
+    state = init_train_state(jax.random.PRNGKey(0), vm_cfg, res, aabb, n_views)
+
+    rays_per_view = max(1, n_rays_total // n_views)
+    n_rays = rays_per_view * n_views
+
+    cfg = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
+                     n_samples=n_samples, pose_opt=True, use_pose_noise=True)
+    step = make_train_step(cfg, vm_cfg, head)
+
+    rng = np.random.default_rng(0)
+    # ring of cameras looking at the origin
+    from joint_tensorf_tpu.data.synthetic import sphere_poses
+    pose_base = jnp.asarray(sphere_poses(n_views))
+    focal = 0.5 * 800 / np.tan(0.5 * 0.6911) * (W / 800)
+    intr = jnp.asarray(np.broadcast_to(
+        np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 dtype=np.float32), (n_views, 3, 3)))
+    intr_inv = jnp.linalg.inv(intr)
+    images = jnp.asarray(rng.random((n_views, H * W, 3)), jnp.float32)
+    edges = jnp.zeros((n_views, H * W), jnp.float32)
+    view_sel = jnp.arange(n_views)
+
+    s = StepScalars(
+        lr_index=jnp.float32(1e-2), lr_basis=jnp.float32(5e-4),
+        lr_pose=jnp.float32(1e-3), c2f_density=jnp.float32(0.0),
+        c2f_color=jnp.float32(0.0), near_far=jnp.array([2.0, 6.0]),
+        l1_weight=jnp.float32(4e-5), tv_density_weight=jnp.float32(0.0),
+        tv_color_weight=jnp.float32(0.0), use_edge=jnp.float32(0.0),
+        edge_factor=jnp.float32(1.5), non_edge_factor=jnp.float32(0.5),
+        view_pe_progress=jnp.float32(1.0), fea_pe_progress=jnp.float32(1.0),
+        pose_do_step=jnp.float32(1.0), tv_depth_weight=jnp.float32(0.0))
+
+    def run_iter(st, i):
+        idx = jnp.asarray(rng.permutation(H * W)[:rays_per_view]
+                          .astype(np.int64))
+        key = jax.random.PRNGKey(i)
+        return step(st, pose_base, intr, intr_inv, images, edges, view_sel,
+                    idx, key, s, None)
+
+    # warmup / compile
+    st = state
+    for i in range(3):
+        st, metrics = run_iter(st, i)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 30
+    t0 = time.perf_counter()
+    for i in range(iters):
+        st, metrics = run_iter(st, 100 + i)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_rays * iters / dt
+    print(json.dumps({
+        "metric": "rays_per_sec_train",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,154 @@
+"""Procedural synthetic scenes with analytically-known geometry.
+
+No external datasets ship with this repo, so tests and benchmarks use a
+procedural stand-in for the Blender split: a handful of colored Gaussian
+blobs inside the scene bbox, rendered with exact quadrature from
+known GT poses arranged on a viewing sphere.  Convergence of PSNR (and of
+pose error under synthetic se(3) perturbations) against this scene
+exercises the same code paths the Blender configs do.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .base import SceneData
+
+
+def look_at_pose(cam_pos, target=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0)):
+    """world->cam [3,4] with the camera looking along its +z axis."""
+    p = np.asarray(cam_pos, dtype=np.float32)
+    z = np.asarray(target, dtype=np.float32) - p
+    z = z / np.linalg.norm(z)
+    x = np.cross(np.asarray(up, dtype=np.float32), z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])          # rows: camera axes in world coords
+    t = -R @ p
+    return np.concatenate([R, t[:, None]], axis=1).astype(np.float32)
+
+
+def sphere_poses(n: int, radius: float = 4.0, elevation: float = 0.35,
+                 seed: int = 0):
+    """n poses around the origin with per-view elevation variation.
+
+    Elevations are varied (like Blender's hemisphere captures) so the camera
+    centers are NOT coplanar — a planar ring makes sim(3) Procrustes
+    alignment degenerate (a flip about the ring plane also aligns the
+    centers), which would corrupt pose-error evaluation.
+    """
+    rng = np.random.default_rng(seed)
+    thetas = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    thetas = thetas + rng.uniform(0, 2 * np.pi / n)
+    elevs = elevation + rng.uniform(-0.25, 0.45, n)
+    poses = []
+    for th, el in zip(thetas, elevs):
+        p = radius * np.array([np.cos(th) * np.cos(el),
+                               np.sin(el),
+                               np.sin(th) * np.cos(el)])
+        poses.append(look_at_pose(p))
+    return np.stack(poses)
+
+
+class BlobField:
+    """Analytic GT field: colored Gaussian blobs."""
+
+    def __init__(self, n_blobs: int = 5, seed: int = 0, extent: float = 1.0,
+                 density_scale: float = 40.0):
+        rng = np.random.default_rng(seed)
+        self.centers = rng.uniform(-extent * 0.6, extent * 0.6, (n_blobs, 3))
+        self.radii = rng.uniform(0.15, 0.35, n_blobs) * extent
+        self.colors = rng.uniform(0.2, 1.0, (n_blobs, 3))
+        self.density_scale = density_scale
+
+    def sigma_rgb(self, pts):
+        """pts: [..., 3] -> (sigma [...], rgb [..., 3])."""
+        import jax.numpy as jnp
+
+        d2 = jnp.sum((pts[..., None, :] - self.centers) ** 2, axis=-1)
+        g = jnp.exp(-0.5 * d2 / (self.radii**2))              # [..., K]
+        sigma = self.density_scale * jnp.sum(g, axis=-1)
+        w = g / (jnp.sum(g, axis=-1, keepdims=True) + 1e-8)
+        rgb = w @ self.colors
+        return sigma, rgb
+
+
+def render_analytic(field: BlobField, pose, intr_inv, H: int, W: int,
+                    near: float, far: float, n_samples: int = 256,
+                    white_bg: bool = True, chunk: int = 65536):
+    """Exact-quadrature render of the analytic field from one pose."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..geometry.rays import get_center_and_ray
+
+    centers, dirs = get_center_and_ray(H, W, jnp.asarray(pose)[None],
+                                       jnp.asarray(intr_inv)[None])
+    centers, dirs = centers[0], dirs[0]
+
+    @jax.jit
+    def render_chunk(c, d):
+        z = jnp.linspace(near, far, n_samples)
+        pts = c[:, None, :] + d[:, None, :] * z[None, :, None]
+        sigma, rgb = field.sigma_rgb(pts)
+        dists = jnp.full_like(z, (far - near) / n_samples)
+        alpha = 1 - jnp.exp(-sigma * dists)
+        T = jnp.cumprod(1 - alpha + 1e-10, axis=-1)
+        T = jnp.concatenate([jnp.ones_like(T[:, :1]), T[:, :-1]], -1)
+        wgt = alpha * T
+        acc = wgt.sum(-1)
+        out = (wgt[..., None] * rgb).sum(-2)
+        if white_bg:
+            out = out + (1 - acc[..., None])
+        return jnp.clip(out, 0, 1)
+
+    outs = []
+    n = centers.shape[0]
+    pad = (-n) % chunk
+    c = jnp.pad(centers, ((0, pad), (0, 0)))
+    d = jnp.pad(dirs, ((0, pad), (0, 0)))
+    for s in range(0, n + pad, chunk):
+        outs.append(render_chunk(c[s:s + chunk], d[s:s + chunk]))
+    img = jnp.concatenate(outs)[:n].reshape(H, W, 3)
+    return np.asarray(img)
+
+
+def make_scene(n_views: int = 12, H: int = 64, W: int = 64,
+               near: float = 2.0, far: float = 6.0, seed: int = 0,
+               n_blobs: int = 5, n_samples: int = 256,
+               pose_seed: int | None = None) -> SceneData:
+    # the field is determined by ``seed`` alone so train/val splits of the
+    # same scene share geometry; only the camera ring varies with pose_seed
+    field = BlobField(n_blobs=n_blobs, seed=seed)
+    poses = sphere_poses(n_views, seed=seed if pose_seed is None else pose_seed)
+    focal = 1.1 * W
+    intr = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                    dtype=np.float32)
+    intr = np.broadcast_to(intr, (n_views, 3, 3)).copy()
+    intr_inv = np.linalg.inv(intr).astype(np.float32)
+
+    images = np.stack([
+        render_analytic(field, poses[i], intr_inv[i], H, W, near, far,
+                        n_samples=n_samples).transpose(2, 0, 1)
+        for i in range(n_views)
+    ])
+    return SceneData(images=images.astype(np.float32), poses=poses,
+                     intr=intr, intr_inv=intr_inv, near_far=(near, far),
+                     H=H, W=W)
+
+
+def load(opt, split: str = "train", subset: int | None = None) -> SceneData:
+    n = opt.data.get("n_views", 12)
+    if split != "train":
+        n = opt.data.get("val_sub") or max(2, n // 4)
+    H, W = opt.data.image_size
+    near, far = opt.nerf.depth.range
+    seed = opt.data.get("seed", 0)
+    pose_seed = seed + (0 if split == "train" else 1000)
+    scene = make_scene(n_views=n, H=H, W=W, near=float(near), far=float(far),
+                       seed=seed, pose_seed=pose_seed)
+    if subset:
+        scene.images = scene.images[:subset]
+        scene.poses = scene.poses[:subset]
+        scene.intr = scene.intr[:subset]
+        scene.intr_inv = scene.intr_inv[:subset]
+    return scene

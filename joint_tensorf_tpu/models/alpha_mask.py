@@ -1,0 +1,102 @@
+"""Dense alpha-grid mask for empty-space culling.
+
+Re-design of AlphaGridMask / updateAlphaMask (tensorBase.py:80-98, 618-661):
+the mask is a dense float {0,1} grid stored [X, Y, Z] with its own aabb,
+sampled trilinearly.  On TPU we keep culling *dense*: sigma is multiplied by
+(mask > 0) instead of boolean-gathering the surviving samples — no dynamic
+shapes under jit.
+
+The refresh itself runs at scheduled steps outside the train jit: evaluate
+density on the dense grid, max-pool (kernel 5), threshold, and propose a
+tightened bbox.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sampling import sample_grid3d
+from . import vm as vm_lib
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AlphaMask:
+    grid: Any   # [X, Y, Z] float 0/1
+    aabb: Any   # [2,3]
+
+
+def sample_alpha(mask: AlphaMask, xyz):
+    """xyz: [N,3] world -> alpha values [N] (tensorBase.py:91-95)."""
+    norm = (xyz - mask.aabb[0]) * (2.0 / (mask.aabb[1] - mask.aabb[0])) - 1.0
+    return sample_grid3d(mask.grid, norm)
+
+
+def dense_alpha(state: vm_lib.VMState, cfg: vm_lib.VMConfig, grid_size,
+                step_size: float, chunk: int = 128 * 1024):
+    """Opacity alpha = 1-exp(-sigma*step) on a dense grid (tensorBase.py:618-634)."""
+    gx, gy, gz = [int(g) for g in grid_size]
+    xs = jnp.linspace(0, 1, gx)
+    ys = jnp.linspace(0, 1, gy)
+    zs = jnp.linspace(0, 1, gz)
+    X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    samples = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    xyz = state.aabb[0] * (1 - samples) + state.aabb[1] * samples
+
+    @jax.jit
+    def eval_chunk(coords):
+        norm = vm_lib.normalize_coord(coords, state.aabb)
+        feat = vm_lib.compute_density_feature(state, cfg, norm,
+                                              stop_coord_grad=True)
+        if cfg.component_wise_feature2density:
+            sigma = feat
+        else:
+            sigma = vm_lib.feature2density(cfg, feat)
+        return 1.0 - jnp.exp(-sigma * step_size)
+
+    outs = []
+    n = xyz.shape[0]
+    pad = (-n) % chunk
+    xyz_p = jnp.pad(xyz, ((0, pad), (0, 0)))
+    for s in range(0, n + pad, chunk):
+        outs.append(eval_chunk(xyz_p[s:s + chunk]))
+    alpha = jnp.concatenate(outs)[:n].reshape(gx, gy, gz)
+    return alpha, xyz.reshape(gx, gy, gz, 3)
+
+
+def _maxpool3d_same(x, k: int = 5):
+    """Stride-1 'same' max pool (padding k//2), matching F.max_pool3d."""
+    pad = k // 2
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(k, k, k),
+        window_strides=(1, 1, 1),
+        padding=((pad, pad), (pad, pad), (pad, pad)),
+    )
+
+
+def update_alpha_mask(state: vm_lib.VMState, cfg: vm_lib.VMConfig, grid_size,
+                      step_size: float, alpha_thresh: float):
+    """Recompute the mask; returns (AlphaMask, proposed new aabb [2,3] np).
+
+    Reference tensorBase.py:636-661.
+    """
+    alpha, dense_xyz = dense_alpha(state, cfg, grid_size, step_size)
+    alpha = jnp.clip(alpha, 0, 1)
+    pooled = _maxpool3d_same(alpha, 5)
+    grid = (pooled >= alpha_thresh).astype(jnp.float32)
+
+    mask = AlphaMask(grid=grid, aabb=state.aabb)
+
+    grid_np = np.asarray(grid)
+    xyz_np = np.asarray(dense_xyz)
+    valid = xyz_np[grid_np > 0.5]
+    if valid.size == 0:
+        new_aabb = np.asarray(state.aabb)
+    else:
+        new_aabb = np.stack([valid.min(axis=0), valid.max(axis=0)])
+    return mask, new_aabb

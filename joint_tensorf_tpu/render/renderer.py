@@ -1,0 +1,235 @@
+"""Volume renderer: ray sampling -> factor sampling -> compositing.
+
+TPU re-design of TensorBase.forward / BatBase.forward
+(tensorBase.py:729-802, batBase.py:44-165):
+
+  * everything is one pure jittable function with static shapes
+    (n_rays x n_samples); out-of-bbox / alpha-culled samples are masked with
+    ``where`` instead of boolean-gathered;
+  * the blur path precomputes per-axis banded blur matrices once per call
+    and reuses them across density/appearance factor grids;
+  * the appearance head runs densely over all samples, then is gated by the
+    reference's weight threshold (weight > thres) as a multiplicative mask.
+
+Gradients: sampling coordinates are differentiable w.r.t. ray origins/dirs,
+which is how pose gradients flow (SURVEY.md §3.5).  The non-BAT path stops
+coordinate gradients exactly like the reference detaches them.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.ndc import grad_rescale
+from ..models import vm as vm_lib
+from ..models import alpha_mask as am_lib
+from ..models.shading import ShadingHead
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering options (hashable; part of the jit cache key)."""
+    n_samples: int
+    white_bg: bool = True
+    is_train: bool = False
+    stratified: bool = True          # only effective when is_train
+    ndc: bool = False
+    ndc_near_plane: float = 1.0
+    ndc_simulate_euclid_sample: bool = False
+    ndc_simulate_euclid_depth: bool = False
+    detach_viewdirs: bool = True
+    detach_xyz: bool = True
+    stop_coord_grad: bool = False    # True for the pose-frozen TensoRF path
+    use_alpha_mask: bool = False
+    mlp_predict_density: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class BlurSpec:
+    """Static blur-path configuration; the sigma values are traced inputs."""
+    mode: str            # "uniform-gaussian" | "uniform-average"
+    kernel_size: int
+
+
+def sample_ray(aabb, step_size, n_samples: int, centers, dirs, rng,
+               near: float, far: float, stratified: bool):
+    """Euclidean ray sampling (tensorBase.py:572-612).
+
+    Returns (pts [N,S,3], z_vals [N,S], in_bbox [N,S]).
+    """
+    dirs_d = jax.lax.stop_gradient(dirs)
+    o_d = jax.lax.stop_gradient(centers)
+    vec = jnp.where(dirs_d == 0, 1e-6, dirs_d)
+    rate_a = (aabb[1] - o_d) / vec
+    rate_b = (aabb[0] - o_d) / vec
+    t_min = jnp.clip(jnp.minimum(rate_a, rate_b).max(axis=-1), near, far)
+
+    steps = jnp.arange(n_samples, dtype=centers.dtype)[None, :]
+    if stratified:
+        jitter = jax.random.uniform(rng, (centers.shape[0], 1),
+                                    dtype=centers.dtype)
+        steps = steps + jitter
+    z_vals = t_min[:, None] + step_size * steps                  # [N,S]
+    pts = centers[:, None, :] + dirs[:, None, :] * z_vals[..., None]
+    in_bbox = jnp.all((pts >= aabb[0]) & (pts <= aabb[1]), axis=-1)
+    return pts, z_vals, in_bbox
+
+
+def sample_ray_ndc(aabb, n_samples: int, centers, dirs, rng,
+                   near: float, far: float, stratified: bool,
+                   ndc_near_plane: float,
+                   simulate_euclid_sample: bool,
+                   simulate_euclid_depth: bool):
+    """NDC ray sampling with the grad-rescale trick (tensorBase.py:554-571)."""
+    interpx = jnp.linspace(near, far, n_samples, dtype=centers.dtype)[None, :]
+    interpx = jnp.broadcast_to(interpx, (centers.shape[0], n_samples))
+    if stratified:
+        interpx = interpx + jax.random.uniform(
+            rng, interpx.shape, dtype=centers.dtype) * ((far - near) / n_samples)
+    ndc_depth = 2 * ndc_near_plane / (1 - ndc_near_plane - interpx)
+    simulated = grad_rescale(interpx, ndc_depth)
+    z_for_pts = simulated if simulate_euclid_sample else interpx
+    pts = centers[:, None, :] + dirs[:, None, :] * z_for_pts[..., None]
+    in_bbox = jnp.all((pts >= aabb[0]) & (pts <= aabb[1]), axis=-1)
+    z_vals = ndc_depth if simulate_euclid_depth else interpx
+    return pts, z_vals, in_bbox
+
+
+def render_rays(
+    state: vm_lib.VMState,
+    cfg: vm_lib.VMConfig,
+    rcfg: RenderConfig,
+    head: ShadingHead,
+    centers,                      # [N,3]
+    dirs,                         # [N,3]
+    rng,
+    near_far,                     # traced [2]
+    alpha_mask: Optional[am_lib.AlphaMask] = None,
+    blur: Optional[BlurSpec] = None,
+    c2f_density: Any = None,      # traced scalar (world-space sigma)
+    c2f_color: Any = None,
+    view_pe_progress: Any = 1.0,
+    fea_pe_progress: Any = 1.0,
+):
+    """Returns (rgb_map [N,3], depth_map [N], opacity [N])."""
+    n = centers.shape[0]
+    S = rcfg.n_samples
+    resolution = state.resolution()
+    aabb = state.aabb
+    aabb_size = aabb[1] - aabb[0]
+
+    rng_samp, rng_bg = jax.random.split(rng)
+    stratified = rcfg.is_train and rcfg.stratified
+
+    viewdirs = dirs
+    if rcfg.ndc:
+        pts, z_vals, in_bbox = sample_ray_ndc(
+            aabb, S, centers, viewdirs, rng_samp, near_far[0], near_far[1],
+            stratified, rcfg.ndc_near_plane, rcfg.ndc_simulate_euclid_sample,
+            rcfg.ndc_simulate_euclid_depth)
+        dists = jnp.concatenate(
+            [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])], -1)
+        rays_norm = jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+        dists = dists * rays_norm
+        viewdirs = viewdirs / rays_norm
+    else:
+        # step size derives from the (dynamic) aabb and static resolution
+        units = aabb_size / (jnp.asarray(resolution, dtype=aabb.dtype) - 1)
+        step_size = jnp.mean(units) * cfg.step_ratio
+        pts, z_vals, in_bbox = sample_ray(
+            aabb, step_size, S, centers, viewdirs, rng_samp,
+            near_far[0], near_far[1], stratified)
+        dists = jnp.concatenate(
+            [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])], -1)
+
+    # ------------------------------------------------------------- blur mats
+    blur_active = blur is not None
+    d_mats = c_mats = None
+    if blur_active:
+        grid_scale = jnp.mean(jnp.asarray(resolution, aabb.dtype) / aabb_size)
+        dk = vm_lib.c2f_kernel(blur.mode, c2f_density, blur.kernel_size,
+                               grid_scale)
+        ck = vm_lib.c2f_kernel(blur.mode, c2f_color, blur.kernel_size,
+                               grid_scale)
+        d_mats = vm_lib.make_blur_mats(dk, resolution)
+        c_mats = vm_lib.make_blur_mats(ck, resolution)
+
+    # ------------------------------------------------------------ density
+    valid = in_bbox
+    flat_pts = pts.reshape(-1, 3)
+    coords = vm_lib.normalize_coord(flat_pts, aabb)
+
+    if rcfg.use_alpha_mask and alpha_mask is not None and not blur_active:
+        alphas = am_lib.sample_alpha(alpha_mask, flat_pts).reshape(n, S)
+        valid = valid & (alphas > 0)
+
+    mlp_viewdirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+    if rcfg.detach_viewdirs:
+        mlp_viewdirs = jax.lax.stop_gradient(mlp_viewdirs)
+    mlp_pts = jax.lax.stop_gradient(pts) if rcfg.detach_xyz else pts
+
+    if rcfg.mlp_predict_density:
+        # density comes from the shading head (batBase.py:106-109)
+        app_feat = vm_lib.compute_app_feature(
+            state, cfg, coords, blur_mats=c_mats,
+            stop_coord_grad=rcfg.stop_coord_grad)
+        rgb_all, sigma_feature = head.apply(
+            state.shading, mlp_pts.reshape(-1, 3), mlp_viewdirs.reshape(-1, 3),
+            app_feat, view_pe_progress, fea_pe_progress)
+        sigma_feature = sigma_feature.reshape(n, S)
+    else:
+        sigma_feature = vm_lib.compute_density_feature(
+            state, cfg, coords, blur_mats=d_mats,
+            stop_coord_grad=rcfg.stop_coord_grad).reshape(n, S)
+        rgb_all = None
+
+    if cfg.component_wise_feature2density:
+        sigma = sigma_feature
+    else:
+        sigma = vm_lib.feature2density(cfg, sigma_feature)
+    sigma = jnp.where(valid, sigma, 0.0)
+
+    alpha = 1.0 - jnp.exp(-sigma * dists * cfg.distance_scale)
+    one_minus = 1.0 - alpha + 1e-10
+    T_incl = jnp.cumprod(one_minus, axis=-1)
+    T_excl = jnp.concatenate([jnp.ones_like(T_incl[:, :1]), T_incl[:, :-1]], -1)
+    weight = alpha * T_excl
+
+    # ---------------------------------------------------------- appearance
+    if rcfg.mlp_predict_density:
+        app_gate = valid
+        rgb = rgb_all.reshape(n, S, 3)
+    else:
+        app_gate = weight > cfg.raymarch_weight_thres
+        app_feat = vm_lib.compute_app_feature(
+            state, cfg, coords, blur_mats=c_mats,
+            stop_coord_grad=rcfg.stop_coord_grad)
+        rgb = head.apply(state.shading, mlp_pts.reshape(-1, 3),
+                         mlp_viewdirs.reshape(-1, 3), app_feat,
+                         view_pe_progress, fea_pe_progress)
+        rgb = rgb.reshape(n, S, 3)
+    rgb = rgb * app_gate[..., None]
+
+    acc_map = jnp.sum(weight, axis=-1)
+    rgb_map = jnp.sum(weight[..., None] * rgb, axis=-2)
+
+    if rcfg.white_bg:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+    elif rcfg.is_train:
+        # random white-background coin flip (tensorBase.py:788)
+        coin = jax.random.uniform(rng_bg, ()) < 0.5
+        rgb_map = rgb_map + coin * (1.0 - acc_map[..., None])
+    rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
+
+    depth_map = jnp.sum(weight * z_vals, axis=-1)
+    depth_map = depth_map + (1.0 - acc_map) * dirs[..., -1]
+    if rcfg.ndc_simulate_euclid_depth:
+        depth_map = jnp.clip(depth_map, 0.0, 10.0)
+    else:
+        depth_map = depth_map - near_far[0] + 0.05
+    depth_map = jax.lax.stop_gradient(depth_map)
+
+    return rgb_map, depth_map, acc_map

@@ -1,0 +1,108 @@
+"""Checkpoint save/restore.
+
+Reference semantics (util.py:120-184, tensorf.py:491-524): because factor
+shapes change during training, the checkpoint stores (a) every array of the
+train state keyed by its pytree path (shapes implicit), (b) the schedule
+side-channel (iter, n_voxel_list, lrs, resolution, bbox) needed to rebuild
+the phase machinery, and (c) the packed alpha-mask volume.  Restore rebuilds
+arrays directly from the stored shapes — no replay of reset() is needed
+because our state is data, not modules.
+
+Format: a single .npz (arrays) + embedded JSON metadata string.
+"""
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten_with_paths(tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(p) for p in path)
+        out[key] = np.asarray(leaf)
+    return out, treedef
+
+
+def save_checkpoint(path: str, trainer) -> None:
+    arrays, _ = _flatten_with_paths(trainer.state)
+    meta = {
+        "it": trainer.it,
+        "n_voxel_list": trainer.n_voxel_list,
+        "n_voxels": trainer.n_voxels,
+        "resolution": trainer.resolution,
+        "alphamask_resolution": trainer.alphamask_resolution,
+        "lr_index": trainer.lr_index,
+        "lr_basis": trainer.lr_basis,
+        "tv_density_weight": trainer.tv_density_weight,
+        "tv_color_weight": trainer.tv_color_weight,
+        "n_samples": trainer.n_samples,
+        "has_alpha_mask": trainer.alpha_mask is not None,
+        "rng_state": trainer.rng_np.bit_generator.state,
+    }
+    payload = {f"state/{k}": v for k, v in arrays.items()}
+    payload["key"] = np.asarray(trainer.key)
+    if trainer.pose_noise is not None:
+        payload["pose_noise"] = np.asarray(trainer.pose_noise)
+    if trainer.alpha_mask is not None:
+        grid = np.asarray(trainer.alpha_mask.grid) > 0.5
+        payload["alpha_mask/packed"] = np.packbits(grid.reshape(-1))
+        payload["alpha_mask/shape"] = np.asarray(grid.shape)
+        payload["alpha_mask/aabb"] = np.asarray(trainer.alpha_mask.aabb)
+    payload["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **payload)
+
+
+def restore_checkpoint(path: str, trainer) -> None:
+    """Restore a trainer in place (shapes are rebuilt from the stored
+    arrays; optimizer moments restore exactly)."""
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(data["meta_json"]).decode())
+
+    # rebuild the state pytree: use the current state's structure as the
+    # template but take array values (and shapes) from the checkpoint
+    arrays = {k[len("state/"):]: data[k] for k in data.files
+              if k.startswith("state/")}
+    flat, treedef = jax.tree_util.tree_flatten_with_path(trainer.state)
+    new_leaves = []
+    for pth, leaf in flat:
+        key = "/".join(str(p) for p in pth)
+        if key in arrays:
+            new_leaves.append(jnp.asarray(arrays[key]))
+        else:
+            raise KeyError(f"checkpoint missing leaf {key}")
+    trainer.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    trainer.it = int(meta["it"])
+    trainer.n_voxel_list = list(meta["n_voxel_list"])
+    trainer.n_voxels = int(meta["n_voxels"])
+    trainer.resolution = list(meta["resolution"])
+    trainer.alphamask_resolution = list(meta["alphamask_resolution"])
+    trainer.lr_index = float(meta["lr_index"])
+    trainer.lr_basis = float(meta["lr_basis"])
+    trainer.tv_density_weight = float(meta["tv_density_weight"])
+    trainer.tv_color_weight = float(meta["tv_color_weight"])
+    trainer.n_samples = int(meta["n_samples"])
+    trainer.rng_np.bit_generator.state = meta["rng_state"]
+    trainer.key = jnp.asarray(data["key"])
+    if "pose_noise" in data.files:
+        from ..geometry import poses as pose_ops
+
+        trainer.pose_noise = jnp.asarray(data["pose_noise"])
+        trainer.pose_base = pose_ops.compose([trainer.pose_noise,
+                                              trainer.gt_poses])
+    if meta["has_alpha_mask"]:
+        from ..models.alpha_mask import AlphaMask
+
+        shape = tuple(int(s) for s in data["alpha_mask/shape"])
+        n = int(np.prod(shape))
+        grid = np.unpackbits(data["alpha_mask/packed"])[:n].reshape(shape)
+        trainer.alpha_mask = AlphaMask(
+            grid=jnp.asarray(grid, jnp.float32),
+            aabb=jnp.asarray(data["alpha_mask/aabb"]))
+    trainer._step_cfg = None  # force step rebuild with restored shapes

@@ -1,0 +1,281 @@
+"""Jitted train / eval step builders.
+
+One fused ``value_and_grad`` over (factor grids, basis, shading MLP, se(3)
+pose table) reproduces the reference's joint gradient flow (SURVEY.md §3.5):
+pose gradients reach the se3 table through ray generation -> sample
+positions -> bilinear coordinate derivatives.  Scene and pose Adam updates
+happen inside the same jit; the pose update is where-gated to implement
+pose-gradient accumulation (bat.py:103-106).
+
+Everything that changes smoothly per iteration (lrs, c2f sigmas, loss
+weights, near/far, PE progress, edge toggle) is a traced scalar in
+``StepScalars`` — recompiles happen only at phase boundaries where array
+shapes genuinely change.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lie, poses as pose_ops
+from ..geometry.rays import get_center_and_ray
+from ..geometry.ndc import convert_ndc
+from ..models import vm as vm_lib
+from ..models.alpha_mask import AlphaMask
+from ..render.renderer import BlurSpec, RenderConfig, render_rays
+from . import losses
+from .optim import AdamState, adam_init, adam_update, field_lr_tree, masked_update
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Params:
+    field: vm_lib.VMState
+    se3_refine: Any          # [n_views, 6] (zeros when pose opt is unused)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Params
+    scene_opt: AdamState
+    pose_opt: AdamState
+    pose_grad_accum: Any     # [n_views, 6]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StepScalars:
+    """Traced per-iteration scalars (host-computed, deterministic)."""
+    lr_index: Any
+    lr_basis: Any
+    lr_pose: Any
+    c2f_density: Any
+    c2f_color: Any
+    near_far: Any            # [2]
+    l1_weight: Any
+    tv_density_weight: Any
+    tv_color_weight: Any
+    use_edge: Any            # 0/1
+    edge_factor: Any
+    non_edge_factor: Any
+    view_pe_progress: Any
+    fea_pe_progress: Any
+    pose_do_step: Any        # 0/1 — apply accumulated pose gradient this iter
+    tv_depth_weight: Any
+
+
+def default_scalars(n_views: int) -> StepScalars:
+    z = jnp.zeros(())
+    return StepScalars(
+        lr_index=z, lr_basis=z, lr_pose=z, c2f_density=z, c2f_color=z,
+        near_far=jnp.array([2.0, 6.0]), l1_weight=z, tv_density_weight=z,
+        tv_color_weight=z, use_edge=z, edge_factor=z + 1, non_edge_factor=z + 1,
+        view_pe_progress=z + 1, fea_pe_progress=z + 1, pose_do_step=z + 1,
+        tv_depth_weight=z,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static step configuration (jit cache key)."""
+    H: int
+    W: int
+    n_views: int
+    rays_per_view: int
+    n_samples: int
+    pose_opt: bool = False             # learnable se3 refinement
+    use_pose_noise: bool = False
+    blur: Optional[BlurSpec] = None
+    ndc: bool = False
+    white_bg: bool = True
+    stratified: bool = True
+    detach_viewdirs: bool = True
+    detach_xyz: bool = True
+    use_alpha_mask: bool = False
+    mlp_predict_density: bool = False
+    ndc_near_plane: float = 1.0
+    ndc_simulate_euclid_sample: bool = False
+    ndc_simulate_euclid_depth: bool = False
+    grid_hw: Optional[tuple[int, int]] = None   # all_view_rand_grid TV-depth
+    pose_b2: float = 0.999
+    scene_b2: float = 0.99
+
+    def render_config(self, is_train: bool) -> RenderConfig:
+        return RenderConfig(
+            n_samples=self.n_samples, white_bg=self.white_bg,
+            is_train=is_train, stratified=self.stratified, ndc=self.ndc,
+            ndc_near_plane=self.ndc_near_plane,
+            ndc_simulate_euclid_sample=self.ndc_simulate_euclid_sample,
+            ndc_simulate_euclid_depth=self.ndc_simulate_euclid_depth,
+            detach_viewdirs=self.detach_viewdirs, detach_xyz=self.detach_xyz,
+            stop_coord_grad=not self.pose_opt,
+            use_alpha_mask=self.use_alpha_mask,
+            mlp_predict_density=self.mlp_predict_density,
+        )
+
+
+def compose_train_pose(params: Params, pose_base, view_sel, pose_opt: bool):
+    """pose = GT∘noise∘refine applied to selected views (bat.py:341-353).
+
+    pose_base is the precomputed GT∘noise (constant during training).
+    """
+    base = pose_base[view_sel]
+    if not pose_opt:
+        return base
+    refine = lie.se3_to_SE3(params.se3_refine[view_sel])
+    return pose_ops.compose([refine, base])
+
+
+def make_train_step(cfg: StepConfig, vm_cfg: vm_lib.VMConfig, head,
+                    jit: bool = True):
+    """Build the jitted training step.
+
+    step(state, pose_base [V,3,4], intr [V,3,3], intr_inv, images [V,HW,3],
+         edge_masks [V,HW], view_sel [Vs], ray_idx [R], rng, scalars,
+         alpha_mask) -> (state, metrics)
+    """
+    rcfg = cfg.render_config(is_train=True)
+
+    def loss_fn(params: Params, pose_base, intr, intr_inv, images, edge_masks,
+                view_sel, ray_idx, rng, s: StepScalars, alpha_mask):
+        pose = compose_train_pose(params, pose_base, view_sel, cfg.pose_opt)
+        centers, dirs = get_center_and_ray(cfg.H, cfg.W, pose,
+                                           intr_inv[view_sel], ray_idx=ray_idx)
+        if cfg.ndc:
+            centers, dirs = convert_ndc(centers, dirs, intr[view_sel],
+                                        near=cfg.ndc_near_plane)
+        B = centers.shape[0]
+        R = centers.shape[1]
+        rgb, depth, opacity = render_rays(
+            params.field, vm_cfg, rcfg, head,
+            centers.reshape(-1, 3), dirs.reshape(-1, 3), rng,
+            s.near_far, alpha_mask=alpha_mask, blur=cfg.blur,
+            c2f_density=s.c2f_density, c2f_color=s.c2f_color,
+            view_pe_progress=s.view_pe_progress,
+            fea_pe_progress=s.fea_pe_progress,
+        )
+        rgb = rgb.reshape(B, R, 3)
+        target = jnp.take(images[view_sel], ray_idx, axis=1)       # [B,R,3]
+        mask = jnp.take(edge_masks[view_sel], ray_idx, axis=1)     # [B,R]
+
+        render_loss = losses.edge_weighted_render_loss(
+            rgb, target, mask, s.edge_factor, s.non_edge_factor, s.use_edge)
+        plain_mse = losses.mse(rgb, target)
+
+        loss = render_loss
+        loss = loss + s.l1_weight * vm_lib.density_L1(params.field)
+        loss = loss + s.tv_density_weight * vm_lib.tv_loss_density(params.field)
+        loss = loss + s.tv_color_weight * vm_lib.tv_loss_app(params.field)
+        if cfg.grid_hw is not None:
+            gh, gw = cfg.grid_hw
+            loss = loss + s.tv_depth_weight * losses.depth_tv_loss(
+                depth.reshape(B, R), gh, gw)
+        metrics = {"loss": loss, "mse": plain_mse,
+                   "psnr": losses.psnr_from_mse(plain_mse)}
+        return loss, metrics
+
+    def step(state: TrainState, pose_base, intr, intr_inv, images, edge_masks,
+             view_sel, ray_idx, rng, s: StepScalars, alpha_mask):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, pose_base, intr, intr_inv, images, edge_masks,
+            view_sel, ray_idx, rng, s, alpha_mask)
+
+        # ---- scene update (every step)
+        lr_tree = field_lr_tree(state.params.field, s.lr_index, s.lr_basis)
+        new_field, scene_opt = adam_update(
+            grads.field, state.scene_opt, state.params.field, lr_tree,
+            b2=cfg.scene_b2)
+
+        # ---- pose update (accumulated; where-gated cadence)
+        if cfg.pose_opt:
+            accum = state.pose_grad_accum + grads.se3_refine
+            new_se3, pose_opt = adam_update(
+                accum, state.pose_opt, state.params.se3_refine, s.lr_pose,
+                b2=cfg.pose_b2)
+            new_se3, pose_opt = masked_update(
+                s.pose_do_step > 0, new_se3, pose_opt,
+                state.params.se3_refine, state.pose_opt)
+            accum = jnp.where(s.pose_do_step > 0, jnp.zeros_like(accum), accum)
+        else:
+            new_se3, pose_opt, accum = (state.params.se3_refine,
+                                        state.pose_opt, state.pose_grad_accum)
+
+        new_state = TrainState(
+            params=Params(field=new_field, se3_refine=new_se3),
+            scene_opt=scene_opt, pose_opt=pose_opt, pose_grad_accum=accum)
+        return new_state, metrics
+
+    return jax.jit(step) if jit else step
+
+
+def init_train_state(key, vm_cfg: vm_lib.VMConfig, resolution, aabb,
+                     n_views: int, init_scale=0.1, init_bias=0.0) -> TrainState:
+    field = vm_lib.init_vm(key, vm_cfg, resolution, aabb,
+                           init_scale=init_scale, init_bias=init_bias)
+    se3 = jnp.zeros((n_views, 6))
+    params = Params(field=field, se3_refine=se3)
+    return TrainState(
+        params=params,
+        scene_opt=adam_init(field),
+        pose_opt=adam_init(se3),
+        pose_grad_accum=jnp.zeros_like(se3),
+    )
+
+
+def rebuild_opt_state(state: TrainState) -> TrainState:
+    """Fresh optimizer moments after a shape transition (the reference
+    rebuilds torch Adam at upsample, tensorf.py:428-429)."""
+    return TrainState(
+        params=state.params,
+        scene_opt=adam_init(state.params.field),
+        pose_opt=state.pose_opt,
+        pose_grad_accum=state.pose_grad_accum,
+    )
+
+
+# ----------------------------------------------------------------- rendering
+def make_render_fn(cfg: StepConfig, vm_cfg: vm_lib.VMConfig, head,
+                   chunk: int = 4096, blur: Optional[BlurSpec] = None):
+    """Chunked full-image renderer (the reference's render_by_slices,
+    nerf.py:728-740).  Returns render(field, pose [B,3,4], intr, intr_inv,
+    scalars, alpha_mask, rng) -> (rgb [B,HW,3], depth, opacity)."""
+    rcfg = dataclasses.replace(cfg.render_config(is_train=False))
+
+    @jax.jit
+    def render_chunk(field, centers, dirs, s: StepScalars, alpha_mask, rng):
+        return render_rays(
+            field, vm_cfg, rcfg, head, centers, dirs, rng, s.near_far,
+            alpha_mask=alpha_mask, blur=blur,
+            c2f_density=s.c2f_density, c2f_color=s.c2f_color,
+            view_pe_progress=s.view_pe_progress,
+            fea_pe_progress=s.fea_pe_progress)
+
+    def render(field, pose, intr, intr_inv, s, alpha_mask, rng):
+        import numpy as np
+
+        B = pose.shape[0]
+        centers, dirs = get_center_and_ray(cfg.H, cfg.W, pose, intr_inv)
+        if cfg.ndc:
+            centers, dirs = convert_ndc(centers, dirs, intr,
+                                        near=cfg.ndc_near_plane)
+        centers = centers.reshape(-1, 3)
+        dirs = dirs.reshape(-1, 3)
+        n = centers.shape[0]
+        pad = (-n) % chunk
+        centers = jnp.pad(centers, ((0, pad), (0, 0)))
+        dirs = jnp.pad(dirs, ((0, pad), (0, 0)))
+        outs = []
+        for i in range(0, n + pad, chunk):
+            outs.append(render_chunk(field, centers[i:i + chunk],
+                                     dirs[i:i + chunk], s, alpha_mask, rng))
+        rgb = jnp.concatenate([o[0] for o in outs])[:n].reshape(B, -1, 3)
+        depth = jnp.concatenate([o[1] for o in outs])[:n].reshape(B, -1)
+        opacity = jnp.concatenate([o[2] for o in outs])[:n].reshape(B, -1)
+        return rgb, depth, opacity
+
+    return render

@@ -1,0 +1,625 @@
+"""Host-side training orchestrator.
+
+Drives the jitted step through the coarse-to-fine *phases* of a run
+(SURVEY.md §7 design move 1): array shapes are static inside a phase and
+transitions (voxel upsample, bbox shrink, ray-count switches, alpha-mask
+(re)build) rebuild the step function — at most a handful of recompiles per
+run.  All schedule randomness (2D/3D blur scale draws, ray permutations,
+grid offsets) comes from one seeded numpy generator, so multi-host replicas
+of this loop are bitwise identical (SURVEY.md §5.8).
+
+Capability map to the reference engines:
+  Model.train / train_iteration   (base.py:82-173, bat.py:96-116) -> Trainer.run
+  NeRF.update_schedule            (tensorf.py:399-447)            -> Trainer._update_schedule
+  Model.process_GT_images / get_edge_mask (nerf.py:57-149)        -> Trainer._refresh_blur_cache
+  pose noise / se3 table          (bat.py:30-47)                  -> Trainer.__init__
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Options
+from ..data.base import SceneData
+from ..geometry import lie, poses as pose_ops
+from ..models import vm as vm_lib
+from ..models.alpha_mask import AlphaMask, update_alpha_mask
+from ..ops import blur as blur_ops
+from ..ops import kernels as kernel_ops
+from ..ops import sobel
+from ..render.renderer import BlurSpec
+from ..sched import schedules
+from . import losses
+from .step import (Params, StepConfig, StepScalars, TrainState,
+                   init_train_state, make_render_fn, make_train_step,
+                   rebuild_opt_state)
+
+
+def build_vm_config(opt: Options) -> vm_lib.VMConfig:
+    arch = opt.arch
+    return vm_lib.VMConfig(
+        density_n_comp=tuple(int(c) for c in arch.tensorf.density_components),
+        app_n_comp=tuple(int(c) for c in arch.tensorf.color_components),
+        app_dim=3 if arch.shading == "RGB" else int(arch.shading.app_dim),
+        shading_mode=arch.shading.model,
+        view_pe=int(arch.shading.view_pe),
+        pos_pe=int(arch.shading.pose_pe),
+        fea_pe=int(arch.shading.fea_pe),
+        hidden=int(arch.shading.mlp_hidden_dim),
+        fea2dense=arch.feature_to_density_activation,
+        density_shift=float(arch.density_shift),
+        distance_scale=float(arch.distance_scale),
+        raymarch_weight_thres=float(arch.tensorf.rayMarch_weight_thres),
+        step_ratio=float(opt.nerf.step_ratio),
+        decomposition="CP" if "CP" in arch.tensorf.model else "VM",
+        abs_components=bool(arch.get("abs_components", False)),
+        component_wise_feature2density=bool(
+            arch.get("component_wise_feature2density", False)),
+        plane_feature2density=bool(arch.get("plane_feature2density", False)),
+        convolve_plane_only=bool(arch.get("convolve_plane_only", False)),
+        convolve_positive_only=bool(arch.get("convolve_positive_only", False)),
+        ignore_negative_split=bool(arch.get("ignore_negative_split", False)),
+    )
+
+
+class Trainer:
+    """Joint pose + tensorial-field training engine."""
+
+    def __init__(self, opt: Options, train_data: SceneData,
+                 val_data: Optional[SceneData] = None):
+        self.opt = opt
+        self.data = train_data
+        self.val_data = val_data
+        self.it = 0
+        self.max_iter = int(opt.max_iter)
+        self.rng_np = np.random.default_rng(int(opt.get("seed", 0)))
+        self.key = jax.random.PRNGKey(int(opt.get("seed", 0)))
+
+        self.is_bat = opt.model == "bat"
+        self.vm_cfg = build_vm_config(opt)
+        self.head = self.vm_cfg.shading_head()
+
+        # ---------------- scene geometry / voxel schedule
+        ts = opt.train_schedule
+        self.bbox = np.asarray(opt.data.scene_bbox, dtype=np.float32).reshape(2, 3)
+        self.upsample_iters = list(ts.upsample_iters)
+        self.update_alphamask_iters = list(ts.update_alphamask_iters)
+        self.n_voxel_list = schedules.voxel_schedule(
+            int(ts.n_voxel_init), int(ts.n_voxel_final), len(self.upsample_iters))
+        self.n_voxels = int(ts.n_voxel_init)
+        self.resolution_scale = list(ts.get("resolution_scale_init", [1.0] * 3))
+        self.resolution = schedules.find_resolution(self.bbox, self.n_voxels,
+                                                    self.resolution_scale)
+        self.n_samples = schedules.find_n_samples(
+            self.resolution, float(opt.nerf.step_ratio),
+            int(opt.nerf.sample_intvs))
+        self.alphamask_resolution = list(self.resolution)
+
+        # ---------------- learning rates / decay
+        o = opt.optim
+        self.lr_index0 = float(o.lr_index)
+        self.lr_basis0 = float(o.lr_basis)
+        self.lr_index = self.lr_index0
+        self.lr_basis = self.lr_basis0
+        decay_iters = int(o.get("lr_decay_iters", -1))
+        self.lr_decay_duration = self.max_iter if decay_iters < 0 else decay_iters
+        self.lr_decay_target = float(o.get("lr_decay_target_ratio", 0.1))
+        self.decay_factor = schedules.lr_decay_factor(
+            self.lr_decay_target, self.lr_decay_duration)
+        self.lr_upsample_reset = bool(o.get("lr_upsample_reset", True))
+
+        # TV weights decay alongside lr (tensorf.py:441-447)
+        lw = opt.loss_weight
+        self.tv_density_weight = float(lw.get("TV_density", 0.0) or 0.0)
+        self.tv_color_weight = float(lw.get("TV_color", 0.0) or 0.0)
+
+        # ---------------- pose optimization state
+        n_views = train_data.n_views
+        self.n_views = n_views
+        gt_poses = jnp.asarray(train_data.poses)
+        self.gt_poses = gt_poses
+        if self.is_bat and opt.camera.get("noise"):
+            noise_key, self.key = jax.random.split(self.key)
+            se3_noise = (jax.random.normal(noise_key, (n_views, 6))
+                         * float(opt.camera.noise))
+            pose_noise = lie.se3_to_SE3(se3_noise)
+            self.pose_noise = pose_noise
+            # base = GT∘noise; learned refine composes on top (bat.py:341-353)
+            self.pose_base = pose_ops.compose([pose_noise, gt_poses])
+        else:
+            self.pose_noise = None
+            self.pose_base = gt_poses
+        if self.is_bat and opt.get("start_with_GT_pose") and \
+                opt.data.dataset in ("llff", "t2"):
+            init_se3 = lie.SE3_to_se3(gt_poses)
+        else:
+            init_se3 = None
+
+        # pose lr schedule
+        self.lr_pose0 = float(o.get("lr_pose", 0.0) or 0.0)
+        sched_pose = o.get("sched_pose")
+        self.pose_sched_type = sched_pose.type if sched_pose else None
+        if self.pose_sched_type == "ExponentialLR":
+            self.pose_gamma = (float(o.lr_pose_end) / self.lr_pose0) ** (
+                1.0 / self.max_iter)
+        self.pose_lambda_schedule = (
+            list(sched_pose.lr_pose_schedule)
+            if sched_pose and sched_pose.get("lr_pose_schedule") else None)
+        self.warmup_pose = o.get("warmup_pose")
+
+        # ---------------- device-side dataset
+        V, H, W = n_views, train_data.H, train_data.W
+        self.H, self.W = H, W
+        imgs = train_data.images.reshape(V, 3, H * W).transpose(0, 2, 1)
+        self.images_sharp = jnp.asarray(np.ascontiguousarray(imgs))  # [V,HW,3]
+        self.images_chw = jnp.asarray(train_data.images)              # [V,3,H,W]
+        self.intr = jnp.asarray(train_data.intr)
+        self.intr_inv = jnp.asarray(train_data.intr_inv)
+        self.near_far = list(train_data.near_far)
+
+        # ---------------- blur / edge-mask caches (filled lazily)
+        self.blur_2d = bool(opt.get("blur_2d", False))
+        self.scale_pool_2d = list(opt.get("c2f_alternate_2D_scale_pool",
+                                          [0.0, 1.0]))
+        self.blurred_images = {0.0: self.images_sharp}
+        self.edge_masks = {0.0: jnp.zeros((V, H * W), jnp.float32)}
+        self.current_images = self.images_sharp
+        self.current_edges = self.edge_masks[0.0]
+
+        # ---------------- alpha mask
+        self.alpha_mask: Optional[AlphaMask] = None
+        self.alphamask_thresh = float(ts.get("alpha_mask_threshold", 1e-4))
+
+        # ---------------- field + optimizer
+        init_key, self.key = jax.random.split(self.key)
+        self.state = init_train_state(
+            init_key, self.vm_cfg, self.resolution, self.bbox, n_views,
+            init_scale=float(opt.arch.tensorf.get("volume_init_scale", 0.1)),
+            init_bias=float(opt.arch.tensorf.get("volume_init_bias", 0.0)))
+        if init_se3 is not None:
+            self.state.params.se3_refine = jnp.asarray(init_se3)
+
+        self._step_fn = None
+        self._step_cfg = None
+        self.metrics_history: list[dict] = []
+
+    # ------------------------------------------------------------- schedules
+    @property
+    def progress(self) -> float:
+        return self.it / self.max_iter
+
+    def _n_rays(self) -> int:
+        ts = self.opt.train_schedule
+        if ts.get("change_n_rays_after_n_iters") is not None:
+            if self.it < ts.change_n_rays_after_n_iters:
+                return int(ts.n_rays_init)
+            return int(ts.n_rays_rest)
+        return int(self.opt.nerf.n_rays)
+
+    def _pose_accum(self) -> int:
+        ts = self.opt.train_schedule
+        if ts.get("change_AccumPoseGrad_after_n_iters") is not None:
+            if self.it < ts.change_AccumPoseGrad_after_n_iters:
+                return int(ts.n_AccumPoseGrad_init)
+            return int(ts.n_AccumPoseGrad_rest)
+        return int(self.opt.optim.get("pose_grad_accum_iter", 1))
+
+    def _strategy(self) -> str:
+        ts = self.opt.train_schedule
+        strat = self.opt.nerf.ray_sampling_strategy
+        if ts.get("all_view_sample_after_n_iters") is not None and \
+                self.it >= ts.all_view_sample_after_n_iters:
+            strat = "all_view_rand_rays"
+        if ts.get("single_view_sample_after_n_iters") is not None and \
+                self.it >= ts.single_view_sample_after_n_iters:
+            strat = "single_view_rand_rays"
+        return strat
+
+    def _blur_spec(self, c2f_d: float, c2f_c: float) -> Optional[BlurSpec]:
+        opt = self.opt
+        if not self.is_bat or opt.get("c2f_mode", "None") in (None, "None"):
+            return None
+        # kernel-drop epsilon (tensorf.py:208-220)
+        if max(c2f_d, c2f_c) < 1e-3:
+            return None
+        return BlurSpec(mode=opt.c2f_mode, kernel_size=int(opt.c2f_kernel_size))
+
+    def _c2f_params(self):
+        """(c2f_density, c2f_color, scale_2d) for this iteration."""
+        opt = self.opt
+        if not self.is_bat or opt.get("c2f_mode", "None") in (None, "None"):
+            return 0.0, 0.0, 0.0
+        d = schedules.interp_schedule(self.progress, opt.c2f_schedule_density)
+        c = schedules.interp_schedule(self.progress, opt.c2f_schedule_color)
+        sc2d = 0.0
+        if self.blur_2d and opt.get("c2f_alternate_2D_blur"):
+            sc2d = float(self.rng_np.choice(self.scale_pool_2d))
+        if opt.get("c2f_random_density_blur"):
+            if opt.get("sync_2d_3d_scales"):
+                sc = sc2d
+            else:
+                sc = float(self.rng_np.choice(
+                    opt.c2f_random_density_scale_pool))
+            d = d * sc
+        return float(d), float(c), sc2d
+
+    def _near_far(self):
+        opt = self.opt
+        if self.is_bat and opt.data.dataset != "blender" and \
+                opt.get("tensorf_near_plane_schedule") is not None:
+            near = schedules.interp_schedule(
+                self.progress, opt.tensorf_near_plane_schedule)
+            return [float(near), self.near_far[1]]
+        return self.near_far
+
+    def _lr_pose(self) -> float:
+        if not self.is_bat:
+            return 0.0
+        if self.pose_sched_type == "ExponentialLR":
+            lr = self.lr_pose0 * (self.pose_gamma ** self.it)
+        elif self.pose_lambda_schedule is not None:
+            lr = schedules.interp_schedule(self.progress,
+                                           self.pose_lambda_schedule)
+        else:
+            lr = self.lr_pose0
+        if self.warmup_pose:
+            lr *= min(1.0, self.it / float(self.warmup_pose))
+        return float(lr)
+
+    def _l1_weight(self) -> float:
+        lw = self.opt.loss_weight.get("L1")
+        if lw is None:
+            return 0.0
+        first_update = self.update_alphamask_iters[0] \
+            if self.update_alphamask_iters else self.max_iter
+        return float(lw.rest if self.it > first_update else lw.init)
+
+    def _edge_scalars(self):
+        opt = self.opt
+        use = 0.0
+        if opt.get("edge_mask_on_render_loss") and self.blur_2d:
+            on = (self.it % 2 == 0) if opt.get("alternate_edge_loss") else True
+            if on and self.it < int(opt.get("edge_mask_before_iter", 0)):
+                use = 1.0
+        return (use, float(opt.get("edge_loss_factor", 1.5)),
+                float(opt.get("non_edge_loss_factor", 0.5)))
+
+    # ------------------------------------------------------ 2D blur pipeline
+    def _refresh_blur_cache(self):
+        """Blur the GT images + edge masks for every scale in the pool
+        (nerf.py:57-149).  Runs every 500 iterations."""
+        opt = self.opt
+        V, H, W = self.n_views, self.H, self.W
+        sched_val = schedules.interp_schedule(self.progress,
+                                              opt.blur_2d_c2f_schedule)
+        ksize = int(opt.blur_2d_c2f_kernel_size)
+        self.blurred_images = {}
+        self.edge_masks = {}
+        thresh = float(opt.get("hard_edge_mask_mean_thresh", 1.25))
+        for sc in self.scale_pool_2d:
+            width = sched_val * sc * (W + H) / 2
+            if width < 0.01:
+                imgs_chw = self.images_chw
+                imgs_flat = self.images_sharp
+            else:
+                if opt.get("blur_2d_mode", "uniform-gaussian") == "uniform-gaussian":
+                    k = kernel_ops.gaussian_kernel(width, ksize)
+                else:
+                    k = kernel_ops.average_kernel(width, ksize)
+                B_h = blur_ops.blur_matrix(k, H)
+                B_w = blur_ops.blur_matrix(k, W)
+                imgs_chw = blur_ops.blur_images_hw(self.images_chw, B_h, B_w)
+                imgs_flat = imgs_chw.reshape(V, 3, H * W).transpose(0, 2, 1)
+            self.blurred_images[sc] = imgs_flat
+            if opt.get("soft_edge_mask"):
+                self.edge_masks[sc] = sobel.soft_edge_mask(imgs_chw).astype(
+                    jnp.float32)
+            else:
+                self.edge_masks[sc] = sobel.hard_edge_mask(
+                    imgs_chw, thresh).astype(jnp.float32)
+
+    # -------------------------------------------------------- ray sampling
+    def _sample_rays(self, strategy: str, n_rays: int):
+        """Host-side ray-index generation (nerf.py:655-673).
+
+        Returns (view_sel [Vs], ray_idx [R], grid_hw or None).
+        """
+        V, H, W = self.n_views, self.H, self.W
+        if strategy == "single_view_rand_rays":
+            view = self.it % V
+            idx = self.rng_np.permutation(H * W)[:n_rays]
+            return np.array([view]), idx.astype(np.int64), None
+        if strategy == "all_view_rand_rays":
+            idx = self.rng_np.permutation(H * W)[:max(1, n_rays // V)]
+            return np.arange(V), idx.astype(np.int64), None
+        assert strategy == "all_view_rand_grid", strategy
+        rays_per_view = max(1, n_rays // V)
+        step = math.ceil((H * W / rays_per_view) ** 0.5)
+        off_x = int(self.rng_np.integers(step))
+        off_y = int(self.rng_np.integers(step))
+        # static grid size: wrap positions modulo the image extent so the
+        # sample count per view never depends on the offset draw (the
+        # reference's arange(offset, W, step) has offset-dependent length,
+        # nerf.py:659-670 — dynamic shapes don't jit)
+        nx = math.ceil(W / step)
+        ny = math.ceil(H / step)
+        xs = (off_x + step * np.arange(nx)) % W
+        ys = (off_y + step * np.arange(ny)) % H
+        gx, gy = np.meshgrid(xs, ys)
+        idx = (gx + gy * W).reshape(-1)
+        return np.arange(V), idx.astype(np.int64), (ny, nx)
+
+    # ---------------------------------------------------------- step builder
+    def _ensure_step(self, strategy: str, n_rays: int, blur_active: bool,
+                     grid_hw):
+        cfg = StepConfig(
+            H=self.H, W=self.W, n_views=self.n_views,
+            rays_per_view=n_rays, n_samples=self.n_samples,
+            pose_opt=self.is_bat, use_pose_noise=self.pose_noise is not None,
+            blur=BlurSpec(mode=self.opt.c2f_mode,
+                          kernel_size=int(self.opt.c2f_kernel_size))
+            if blur_active else None,
+            ndc=bool(self.opt.camera.get("ndc", False)),
+            white_bg=bool(self.opt.nerf.get("setbg_opaque", True)),
+            stratified=bool(self.opt.nerf.get("sample_stratified", True)),
+            detach_viewdirs=bool(self.opt.arch.shading.get("detach_viewdirs", True)),
+            detach_xyz=bool(self.opt.arch.shading.get("detach_xyz", True)),
+            use_alpha_mask=self.alpha_mask is not None,
+            mlp_predict_density=bool(
+                self.opt.arch.shading.get("predict_density", False)),
+            ndc_near_plane=float(self.opt.arch.get("ndc_near_plane", 1.0)),
+            ndc_simulate_euclid_sample=bool(
+                self.opt.get("ndc_simulate_euclid_sample", False)),
+            ndc_simulate_euclid_depth=bool(
+                self.opt.get("ndc_simulate_euclid_depth", False)),
+            grid_hw=grid_hw,
+        )
+        if cfg != self._step_cfg:
+            self._step_cfg = cfg
+            self._step_fn = make_train_step(cfg, self.vm_cfg, self.head)
+        return self._step_fn
+
+    # ------------------------------------------------------------- main loop
+    def train_iteration(self):
+        opt = self.opt
+        it = self.it
+
+        # 2D supervision blur cache refresh (nerf.py:172-175)
+        if self.blur_2d and it % 500 == 0:
+            self._refresh_blur_cache()
+
+        # pose resets (nerf.py:194-202, tensorf.py:406-411)
+        ts = opt.train_schedule
+        reset_iters = set()
+        if ts.get("reset_pose_on_iter") is not None:
+            reset_iters.add(int(ts.reset_pose_on_iter))
+        for i in ts.get("reset_pose_on_iters", []) or []:
+            reset_iters.add(int(i))
+        if ts.get("reset_pose_on_first_upsample") and self.upsample_iters \
+                and it == self.upsample_iters[0]:
+            reset_iters.add(it)
+        if it in reset_iters:
+            self.state.params.se3_refine = jnp.zeros_like(
+                self.state.params.se3_refine)
+
+        c2f_d, c2f_c, sc2d = self._c2f_params()
+        blur_spec = self._blur_spec(c2f_d, c2f_c)
+
+        # pick the blurred GT + edge masks for this iteration's 2D scale
+        if self.blur_2d:
+            self.current_images = self.blurred_images[sc2d]
+            edge_scale = float(opt.get("edge_mask_use_scale", sc2d))
+            self.current_edges = self.edge_masks.get(edge_scale,
+                                                     self.edge_masks[sc2d])
+        use_edge, ef, nef = self._edge_scalars()
+
+        strategy = self._strategy()
+        n_rays = self._n_rays()
+        view_sel, ray_idx, grid_hw = self._sample_rays(strategy, n_rays)
+
+        accum = self._pose_accum()
+        pose_do_step = 1.0 if (it % accum) == 0 else 0.0
+
+        near_far = self._near_far()
+        vp = fp = 1.0
+        if opt.get("c2f_view_pe_schedule") is not None:
+            vp = schedules.interp_schedule(self.progress,
+                                           opt.c2f_view_pe_schedule)
+        if opt.get("c2f_fea_pe_schedule") is not None:
+            fp = schedules.interp_schedule(self.progress,
+                                           opt.c2f_fea_pe_schedule)
+
+        scalars = StepScalars(
+            lr_index=jnp.float32(self.lr_index),
+            lr_basis=jnp.float32(self.lr_basis),
+            lr_pose=jnp.float32(self._lr_pose()),
+            c2f_density=jnp.float32(c2f_d), c2f_color=jnp.float32(c2f_c),
+            near_far=jnp.asarray(near_far, jnp.float32),
+            l1_weight=jnp.float32(self._l1_weight()),
+            tv_density_weight=jnp.float32(self.tv_density_weight),
+            tv_color_weight=jnp.float32(self.tv_color_weight),
+            use_edge=jnp.float32(use_edge), edge_factor=jnp.float32(ef),
+            non_edge_factor=jnp.float32(nef),
+            view_pe_progress=jnp.float32(vp), fea_pe_progress=jnp.float32(fp),
+            pose_do_step=jnp.float32(pose_do_step),
+            tv_depth_weight=jnp.float32(self._tv_depth_weight(grid_hw)),
+        )
+
+        step = self._ensure_step(strategy, len(ray_idx), blur_spec is not None,
+                                 grid_hw)
+        self.key, step_key = jax.random.split(self.key)
+        self.state, metrics = step(
+            self.state, self.pose_base, self.intr, self.intr_inv,
+            self.current_images, self.current_edges,
+            jnp.asarray(view_sel), jnp.asarray(ray_idx), step_key, scalars,
+            self.alpha_mask)
+        return metrics
+
+    def _tv_depth_weight(self, grid_hw) -> float:
+        lw = self.opt.loss_weight
+        if grid_hw is None or lw.get("TV_depth") is None:
+            return 0.0
+        until = lw.get("TV_depth_until_iters")
+        if until is not None and self.it > int(until):
+            return 0.0
+        return float(lw.TV_depth)
+
+    def _update_schedule(self):
+        """Post-iteration schedule updates (tensorf.py:399-447)."""
+        it = self.it
+        if it in self.upsample_iters:
+            if it == self.upsample_iters[0]:
+                self.resolution_scale = [1.0, 1.0, 1.0]
+            self.n_voxels = self.n_voxel_list.pop(0)
+            self.resolution = schedules.find_resolution(
+                np.asarray(self.state.params.field.aabb), self.n_voxels,
+                self.resolution_scale)
+            new_field = vm_lib.upsample(self.state.params.field,
+                                        self.resolution)
+            reset = self.opt.train_schedule.get("reset_on_last_upsample")
+            if reset and it == self.upsample_iters[-1] and \
+                    (reset.density or reset.appearance or reset.basis):
+                rk, self.key = jax.random.split(self.key)
+                new_field = vm_lib.init_vm(
+                    rk, self.vm_cfg, self.resolution, new_field.aabb,
+                    init_scale=float(
+                        self.opt.arch.tensorf.get("volume_init_scale", 0.1)),
+                    init_density=reset.density, init_app=reset.appearance,
+                    init_basis=reset.basis, prev=new_field)
+            self.state = dataclasses.replace(
+                self.state, params=dataclasses.replace(
+                    self.state.params, field=new_field))
+            self.state = rebuild_opt_state(self.state)
+            self.n_samples = schedules.find_n_samples(
+                self.resolution, float(self.opt.nerf.step_ratio),
+                int(self.opt.nerf.sample_intvs))
+            # lr reset (tensorf.py:463-478)
+            scale = 1.0 if self.lr_upsample_reset else (
+                self.lr_decay_target ** (it / self.max_iter))
+            self.lr_index = self.lr_index0 * scale
+            self.lr_basis = self.lr_basis0 * scale
+            self._step_cfg = None  # force step rebuild
+        else:
+            self.lr_index *= self.decay_factor
+            self.lr_basis *= self.decay_factor
+
+        if it in self.update_alphamask_iters:
+            self._update_alphamask(it)
+
+        if self.tv_density_weight > 0:
+            self.tv_density_weight *= self.decay_factor
+        if self.tv_color_weight > 0:
+            self.tv_color_weight *= self.decay_factor
+
+    def _update_alphamask(self, it: int):
+        """tensorf.py:480-489."""
+        res = self.resolution
+        if res[0] * res[1] * res[2] >= 256**3:
+            return
+        self.alphamask_resolution = list(res)
+        field = self.state.params.field
+        step = schedules.step_size(np.asarray(field.aabb), res,
+                                   float(self.opt.nerf.step_ratio))
+        mask, new_aabb = update_alpha_mask(
+            field, self.vm_cfg, self.alphamask_resolution, step,
+            self.alphamask_thresh)
+        self.alpha_mask = mask
+        if it == self.update_alphamask_iters[0] and \
+                self.opt.train_schedule.get("shrink_bbox_with_alphamask", True):
+            new_field = vm_lib.shrink(field, new_aabb)
+            self.resolution = new_field.resolution()
+            self.state = dataclasses.replace(
+                self.state, params=dataclasses.replace(
+                    self.state.params, field=new_field))
+            self.state = rebuild_opt_state(self.state)
+            self.n_samples = schedules.find_n_samples(
+                self.resolution, float(self.opt.nerf.step_ratio),
+                int(self.opt.nerf.sample_intvs))
+        self._step_cfg = None
+
+    def run(self, max_iter: Optional[int] = None, log_every: int = 100,
+            callback=None):
+        """Run the training loop up to max_iter."""
+        end = self.max_iter if max_iter is None else max_iter
+        t0 = time.time()
+        while self.it < end:
+            metrics = self.train_iteration()
+            self._update_schedule()
+            if self.it % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(it=self.it, wall=time.time() - t0,
+                         lr_index=self.lr_index, lr_pose=self._lr_pose())
+                self.metrics_history.append(m)
+                if callback:
+                    callback(self, m)
+            self.it += 1
+        return self.metrics_history
+
+    # ------------------------------------------------------------ evaluation
+    def get_all_training_poses(self):
+        """(pose, pose_GT) with noise + refinement applied (bat.py:196-209)."""
+        pose = self.pose_base
+        if self.is_bat:
+            refine = lie.se3_to_SE3(self.state.params.se3_refine)
+            pose = pose_ops.compose([refine, pose])
+        return pose, self.gt_poses
+
+    def render_views(self, pose, intr, intr_inv, chunk: int = 4096):
+        cfg = self._step_cfg or StepConfig(
+            H=self.H, W=self.W, n_views=self.n_views, rays_per_view=chunk,
+            n_samples=self.n_samples, pose_opt=self.is_bat,
+            ndc=bool(self.opt.camera.get("ndc", False)),
+            white_bg=bool(self.opt.nerf.get("setbg_opaque", True)))
+        cfg = dataclasses.replace(
+            cfg, n_samples=self.n_samples,
+            use_alpha_mask=self.alpha_mask is not None)
+        render = make_render_fn(cfg, self.vm_cfg, self.head, chunk=chunk)
+        s = StepScalars(
+            lr_index=jnp.float32(0), lr_basis=jnp.float32(0),
+            lr_pose=jnp.float32(0), c2f_density=jnp.float32(0),
+            c2f_color=jnp.float32(0),
+            near_far=jnp.asarray(self._near_far(), jnp.float32),
+            l1_weight=jnp.float32(0), tv_density_weight=jnp.float32(0),
+            tv_color_weight=jnp.float32(0), use_edge=jnp.float32(0),
+            edge_factor=jnp.float32(1), non_edge_factor=jnp.float32(1),
+            view_pe_progress=jnp.float32(1), fea_pe_progress=jnp.float32(1),
+            pose_do_step=jnp.float32(0), tv_depth_weight=jnp.float32(0))
+        self.key, rkey = jax.random.split(self.key)
+        return render(self.state.params.field, pose, intr, intr_inv, s,
+                      self.alpha_mask, rkey)
+
+    def validate(self, data: Optional[SceneData] = None, align: bool = True):
+        """PSNR over a validation split (optionally sim3-aligned poses)."""
+        from ..geometry import align as align_lib
+
+        data = data or self.val_data
+        assert data is not None
+        pose = jnp.asarray(data.poses)
+        if self.is_bat and align:
+            tr_pose, tr_gt = self.get_all_training_poses()
+            _, sim3 = align_lib.prealign_cameras(tr_pose, tr_gt)
+            pose = align_lib.align_test_pose(pose, sim3)
+        rgb, depth, opacity = self.render_views(
+            pose, jnp.asarray(data.intr), jnp.asarray(data.intr_inv))
+        V = data.n_views
+        target = jnp.asarray(
+            data.images.reshape(V, 3, -1).transpose(0, 2, 1))
+        mse_per = jnp.mean((rgb - target) ** 2, axis=(1, 2))
+        psnr = float(jnp.mean(-10 * jnp.log10(mse_per)))
+        return {"psnr": psnr, "rgb": rgb, "depth": depth}
+
+    def pose_error(self):
+        """Mean rotation (deg) / translation error after sim3 alignment."""
+        from ..geometry import align as align_lib
+
+        pose, pose_GT = self.get_all_training_poses()
+        aligned, _ = align_lib.prealign_cameras(pose, pose_GT)
+        r_err, t_err = align_lib.evaluate_camera_alignment(aligned, pose_GT)
+        return {"rot_deg": float(jnp.rad2deg(jnp.mean(r_err))),
+                "trans": float(jnp.mean(t_err))}

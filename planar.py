@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""2D planar alignment CLI (the reference's train_2d.py).
+
+Usage:
+    python planar.py --yaml=configs/planar_bat.yaml [--k=v ...]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def main(argv):
+    yaml_path, rest = None, []
+    for a in argv:
+        if a.startswith("--yaml="):
+            yaml_path = a.split("=", 1)[1]
+        else:
+            rest.append(a)
+    assert yaml_path, "usage: python planar.py --yaml=configs/planar_*.yaml"
+
+    from joint_tensorf_tpu.config import set_options
+    from joint_tensorf_tpu.utils import setup_jax
+    setup_jax()
+    opt = set_options(yaml_path, rest)
+
+    out_dir = os.path.join(opt.get("output_root", "output"),
+                           str(opt.get("group", "default")),
+                           str(opt.get("name", "planar")))
+    os.makedirs(out_dir, exist_ok=True)
+
+    from joint_tensorf_tpu.train.planar_trainer import PlanarTrainer
+
+    tr = PlanarTrainer(opt)
+    print(f"[planar] model={opt.model} patches={tr.B} dof={tr.dof} "
+          f"max_iter={tr.max_iter}")
+
+    log_path = os.path.join(out_dir, "log.jsonl")
+
+    def on_log(t, m):
+        with open(log_path, "a") as f:
+            f.write(json.dumps(m) + "\n")
+        print(f"it {t.it:6d} | loss {m['loss']:.5f} | psnr {m['psnr']:.2f} "
+              f"| warp_err {m['warp_error']:.4f} | sigma {m['sigma']:.1f}",
+              flush=True)
+
+    tr.run(log_every=int(opt.freq.get("scalar", 20)), callback=on_log)
+
+    result = {"iters": tr.it, "warp_error": tr.warp_error(),
+              "psnr": tr.metrics_history[-1]["psnr"] if tr.metrics_history
+              else None}
+    with open(os.path.join(out_dir, "quant.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print("[done]", json.dumps(result))
+
+    try:
+        import imageio.v2 as imageio
+        import numpy as np
+
+        img = tr.predict_entire_image()
+        imageio.imwrite(os.path.join(out_dir, "reconstruction.png"),
+                        (np.clip(img, 0, 1) * 255).astype(np.uint8))
+    except Exception as e:
+        print(f"[vis] skipped: {e}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Training CLI (the reference's train_3d.py equivalent).
+
+Usage:
+    python train.py --yaml=configs/bat_blender_VM.yaml [--key=value ...]
+
+Dotted CLI overrides follow the reference convention (options.py:17-57):
+--a.b.c=value (yaml-typed), --flag (true), --flag! (false), --+new.key=v.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main(argv):
+    yaml_path = None
+    rest = []
+    for a in argv:
+        if a.startswith("--yaml="):
+            yaml_path = a.split("=", 1)[1]
+        else:
+            rest.append(a)
+    assert yaml_path, "usage: python train.py --yaml=configs/<cfg>.yaml [--k=v]"
+
+    from joint_tensorf_tpu.config import set_options
+    from joint_tensorf_tpu.utils import setup_jax
+    setup_jax()
+    opt = set_options(yaml_path, rest)
+
+    out_dir = os.path.join(opt.get("output_root", "output"),
+                           str(opt.get("group", "default")),
+                           str(opt.get("name", "run")))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "options.json"), "w") as f:
+        json.dump(opt.to_dict(), f, indent=2, default=str)
+
+    from joint_tensorf_tpu.data import load_dataset
+    from joint_tensorf_tpu.train.trainer import Trainer
+
+    print(f"[data] loading {opt.data.dataset}/{opt.data.get('scene', '')} ...")
+    train_data = load_dataset(opt, opt.get("train_split", "train"),
+                              subset=opt.data.get("train_sub"))
+    val_split = "test" if opt.data.get("val_on_test") else "val"
+    try:
+        val_data = load_dataset(opt, val_split, subset=opt.data.get("val_sub"))
+    except Exception as e:  # val split optional (synthetic/debug runs)
+        print(f"[data] no val split ({e}); validating on train views")
+        val_data = train_data
+
+    trainer = Trainer(opt, train_data, val_data)
+    print(f"[train] {opt.model} | views={train_data.n_views} "
+          f"res={trainer.resolution} n_samples={trainer.n_samples} "
+          f"max_iter={trainer.max_iter}")
+
+    log_path = os.path.join(out_dir, "log.jsonl")
+    t0 = time.time()
+
+    def on_log(tr, m):
+        line = dict(m)
+        if tr.is_bat and tr.it % max(1, int(opt.freq.get("scalar", 200)) * 4) == 0:
+            line.update(tr.pose_error())
+        with open(log_path, "a") as f:
+            f.write(json.dumps(line) + "\n")
+        msg = (f"it {tr.it:6d} | loss {m['loss']:.5f} | psnr {m['psnr']:.2f} "
+               f"| lr {tr.lr_index:.2e}")
+        if "rot_deg" in line:
+            msg += f" | rot {line['rot_deg']:.3f}° trans {line['trans']:.4f}"
+        print(msg, flush=True)
+
+    trainer.run(log_every=int(opt.freq.get("scalar", 200)), callback=on_log)
+
+    # final evaluation
+    result = {"wall_s": time.time() - t0, "iters": trainer.it}
+    if val_data is not None:
+        val = trainer.validate(val_data, align=trainer.is_bat)
+        result["val_psnr"] = val["psnr"]
+    if trainer.is_bat:
+        result.update(trainer.pose_error())
+    with open(os.path.join(out_dir, "quant.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print("[done]", json.dumps(result))
+
+    from joint_tensorf_tpu.train.checkpoint import save_checkpoint
+    save_checkpoint(os.path.join(out_dir, "model.ckpt.npz"), trainer)
+    print(f"[ckpt] saved to {out_dir}/model.ckpt.npz")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
