@@ -78,6 +78,13 @@ def main(argv):
             for i, (r, t) in enumerate(zip(np.asarray(r_err),
                                            np.asarray(t_err))):
                 f.write(f"{i} {r} {t}\n")
+        try:
+            from joint_tensorf_tpu.viz.poses_plot import plot_poses_3d
+            plot_poses_3d(os.path.join(out_dir, "poses.png"),
+                          np.asarray(aligned), np.asarray(pose_GT),
+                          title=f"aligned vs GT (it={trainer.it})")
+        except Exception as e:
+            print(f"[vis] pose plot skipped: {e}")
     else:
         test_pose = jnp.asarray(test_data.poses)
 
@@ -152,6 +159,24 @@ def main(argv):
     with open(os.path.join(out_dir, "quant_eval.json"), "w") as f:
         json.dump(results, f, indent=2)
     print("[done]", json.dumps(results))
+
+    # ---- novel-view synthesis video (nerf.py:575 / camera.py:380)
+    if opt.get("generate_video", True):
+        from joint_tensorf_tpu.viz.novel_views import novel_view_around_bbox
+        from joint_tensorf_tpu.viz.video import write_video
+
+        n_frames = int(opt.get("video_n_frames", 60))
+        novel = novel_view_around_bbox(opt.data.scene_bbox, n=n_frames)
+        intr0 = jnp.broadcast_to(jnp.asarray(test_data.intr[0]),
+                                 (n_frames, 3, 3))
+        intr0_inv = jnp.broadcast_to(jnp.asarray(test_data.intr_inv[0]),
+                                     (n_frames, 3, 3))
+        rgb_nv, _, _ = trainer.render_views(novel, intr0, intr0_inv)
+        frames = [np.asarray(rgb_nv[i].reshape(H, W, 3))
+                  for i in range(n_frames)]
+        vid_path = write_video(os.path.join(out_dir, "novel_views.mp4"),
+                               frames, fps=15)
+        print(f"[video] wrote {vid_path}")
 
     # ---- save renders
     vis_dir = os.path.join(out_dir, "test_renders")

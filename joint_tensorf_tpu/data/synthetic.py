@@ -50,15 +50,25 @@ def sphere_poses(n: int, radius: float = 4.0, elevation: float = 0.35,
 
 
 class BlobField:
-    """Analytic GT field: colored Gaussian blobs."""
+    """Analytic GT field: colored Gaussian blobs with 3D color texture.
+
+    The texture matters: perfectly smooth radially-symmetric blobs give
+    weak/ambiguous pose-alignment signals (the field can absorb pose error),
+    while high-frequency color variation makes photometric bundle adjustment
+    well-determined — the regime the Blender scenes are in.
+    """
 
     def __init__(self, n_blobs: int = 5, seed: int = 0, extent: float = 1.0,
-                 density_scale: float = 40.0):
+                 density_scale: float = 40.0, texture: bool = True):
         rng = np.random.default_rng(seed)
         self.centers = rng.uniform(-extent * 0.6, extent * 0.6, (n_blobs, 3))
         self.radii = rng.uniform(0.15, 0.35, n_blobs) * extent
         self.colors = rng.uniform(0.2, 1.0, (n_blobs, 3))
         self.density_scale = density_scale
+        self.texture = texture
+        # random-phase sinusoidal 3D texture (a few octaves)
+        self.tex_freqs = rng.uniform(3.0, 9.0, (3, 4, 3))   # [rgb, octave, xyz]
+        self.tex_phase = rng.uniform(0, 2 * np.pi, (3, 4))
 
     def sigma_rgb(self, pts):
         """pts: [..., 3] -> (sigma [...], rgb [..., 3])."""
@@ -69,6 +79,11 @@ class BlobField:
         sigma = self.density_scale * jnp.sum(g, axis=-1)
         w = g / (jnp.sum(g, axis=-1, keepdims=True) + 1e-8)
         rgb = w @ self.colors
+        if self.texture:
+            # multiplicative high-frequency modulation, mean-one
+            arg = jnp.einsum("...d,cod->...co", pts, self.tex_freqs)
+            tex = jnp.mean(jnp.sin(arg + self.tex_phase), axis=-1)  # [..., 3]
+            rgb = jnp.clip(rgb * (1.0 + 0.45 * tex), 0.0, 1.0)
         return sigma, rgb
 
 

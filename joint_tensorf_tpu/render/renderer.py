@@ -45,6 +45,13 @@ class RenderConfig:
     stop_coord_grad: bool = False    # True for the pose-frozen TensoRF path
     use_alpha_mask: bool = False
     mlp_predict_density: bool = False
+    # static per-ray sample budget after alpha-mask compaction; None = dense.
+    # The TPU analogue of the reference's boolean sample culling
+    # (tensorBase.py:750-755): per ray, keep the top-K samples by mask
+    # occupancy (static shape) and composite over those only.  Exact as long
+    # as <= K samples per ray survive the mask — choose K from the mask's
+    # occupancy when building the phase.
+    compact_k: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,17 +167,38 @@ def render_rays(
     # ------------------------------------------------------------ density
     valid = in_bbox
     flat_pts = pts.reshape(-1, 3)
-    coords = vm_lib.normalize_coord(flat_pts, aabb)
 
     if rcfg.use_alpha_mask and alpha_mask is not None and not blur_active:
         alphas = am_lib.sample_alpha(alpha_mask, flat_pts).reshape(n, S)
         valid = valid & (alphas > 0)
+
+    # ------------------------------------------------- sample compaction
+    # Keep only K samples per ray (the ones surviving the masks) — static
+    # shapes, march order preserved.  Exact when <= K samples are alive.
+    if rcfg.compact_k is not None and rcfg.compact_k < S:
+        K = rcfg.compact_k
+        score = valid.astype(pts.dtype)
+        _, topi = jax.lax.top_k(score, K)                 # [n, K]
+        topi = jnp.sort(topi, axis=-1)                    # restore march order
+
+        def take(arr):
+            return jnp.take_along_axis(arr, topi, axis=1)
+
+        z_vals = take(z_vals)
+        dists = take(dists)
+        valid = take(valid)
+        pts = jnp.take_along_axis(pts, topi[..., None], axis=1)
+        S = K
+        flat_pts = pts.reshape(-1, 3)
+
+    coords = vm_lib.normalize_coord(flat_pts, aabb)
 
     mlp_viewdirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
     if rcfg.detach_viewdirs:
         mlp_viewdirs = jax.lax.stop_gradient(mlp_viewdirs)
     mlp_pts = jax.lax.stop_gradient(pts) if rcfg.detach_xyz else pts
 
+    fused_app_feat = None
     if rcfg.mlp_predict_density:
         # density comes from the shading head (batBase.py:106-109)
         app_feat = vm_lib.compute_app_feature(
@@ -180,6 +208,13 @@ def render_rays(
             state.shading, mlp_pts.reshape(-1, 3), mlp_viewdirs.reshape(-1, 3),
             app_feat, view_pe_progress, fea_pe_progress)
         sigma_feature = sigma_feature.reshape(n, S)
+    elif vm_lib.can_fuse_features(cfg):
+        # one fused 64-wide gather serves both density and appearance
+        sigma_feature, fused_app_feat = vm_lib.compute_fused_features(
+            state, cfg, coords, d_mats=d_mats, c_mats=c_mats,
+            stop_coord_grad=rcfg.stop_coord_grad)
+        sigma_feature = sigma_feature.reshape(n, S)
+        rgb_all = None
     else:
         sigma_feature = vm_lib.compute_density_feature(
             state, cfg, coords, blur_mats=d_mats,
@@ -204,9 +239,12 @@ def render_rays(
         rgb = rgb_all.reshape(n, S, 3)
     else:
         app_gate = weight > cfg.raymarch_weight_thres
-        app_feat = vm_lib.compute_app_feature(
-            state, cfg, coords, blur_mats=c_mats,
-            stop_coord_grad=rcfg.stop_coord_grad)
+        if fused_app_feat is not None:
+            app_feat = fused_app_feat
+        else:
+            app_feat = vm_lib.compute_app_feature(
+                state, cfg, coords, blur_mats=c_mats,
+                stop_coord_grad=rcfg.stop_coord_grad)
         rgb = head.apply(state.shading, mlp_pts.reshape(-1, 3),
                          mlp_viewdirs.reshape(-1, 3), app_feat,
                          view_pe_progress, fea_pe_progress)

@@ -104,6 +104,7 @@ class StepConfig:
     grid_hw: Optional[tuple[int, int]] = None   # all_view_rand_grid TV-depth
     pose_b2: float = 0.999
     scene_b2: float = 0.99
+    compact_k: Optional[int] = None             # alpha-mask sample compaction
 
     def render_config(self, is_train: bool) -> RenderConfig:
         return RenderConfig(
@@ -116,6 +117,7 @@ class StepConfig:
             stop_coord_grad=not self.pose_opt,
             use_alpha_mask=self.use_alpha_mask,
             mlp_predict_density=self.mlp_predict_density,
+            compact_k=self.compact_k,
         )
 
 

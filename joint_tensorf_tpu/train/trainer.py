@@ -175,6 +175,7 @@ class Trainer:
         # ---------------- alpha mask
         self.alpha_mask: Optional[AlphaMask] = None
         self.alphamask_thresh = float(ts.get("alpha_mask_threshold", 1e-4))
+        self.compact_k: Optional[int] = None
 
         # ---------------- field + optimizer
         init_key, self.key = jax.random.split(self.key)
@@ -379,6 +380,9 @@ class Trainer:
             ndc_simulate_euclid_depth=bool(
                 self.opt.get("ndc_simulate_euclid_depth", False)),
             grid_hw=grid_hw,
+            # compaction relies on alpha-mask culling, which the reference
+            # disables while blur is active (batBase.py:77)
+            compact_k=None if blur_active else self.compact_k,
         )
         if cfg != self._step_cfg:
             self._step_cfg = cfg
@@ -530,6 +534,7 @@ class Trainer:
             field, self.vm_cfg, self.alphamask_resolution, step,
             self.alphamask_thresh)
         self.alpha_mask = mask
+        self.compact_k = self._probe_compact_k()
         if it == self.update_alphamask_iters[0] and \
                 self.opt.train_schedule.get("shrink_bbox_with_alphamask", True):
             new_field = vm_lib.shrink(field, new_aabb)
@@ -542,6 +547,56 @@ class Trainer:
                 self.resolution, float(self.opt.nerf.step_ratio),
                 int(self.opt.nerf.sample_intvs))
         self._step_cfg = None
+
+    def _probe_compact_k(self, n_probe_rays: int = 4096) -> Optional[int]:
+        """Measure the worst-case number of alive samples per ray under the
+        current alpha mask and pick a static compaction budget K.
+
+        TPU analogue of the reference's boolean sample culling
+        (tensorBase.py:750-755) with static shapes: rays keep only K sample
+        slots.  The probe renders rays from every training view and takes
+        the max alive count, padded 25% and rounded to a multiple of 64.
+        """
+        if self.alpha_mask is None or self.opt.camera.get("ndc", False):
+            return None
+        import jax.numpy as jnp
+
+        from ..geometry.rays import get_center_and_ray
+        from ..models.alpha_mask import sample_alpha
+        from ..render.renderer import sample_ray
+
+        field = self.state.params.field
+        aabb = field.aabb
+        res = self.resolution
+        S = self.n_samples
+        per_view = max(1, n_probe_rays // self.n_views)
+        idx = jnp.asarray(self.rng_np.permutation(self.H * self.W)[:per_view])
+        pose, _ = self.get_all_training_poses()
+        centers, dirs = get_center_and_ray(self.H, self.W, pose,
+                                           self.intr_inv, ray_idx=idx)
+        centers = centers.reshape(-1, 3)
+        dirs = dirs.reshape(-1, 3)
+
+        @jax.jit
+        def alive_max(centers, dirs, aabb, mask_grid, mask_aabb):
+            units = (aabb[1] - aabb[0]) / (
+                jnp.asarray(res, jnp.float32) - 1)
+            step = jnp.mean(units) * self.vm_cfg.step_ratio
+            pts, _, in_bbox = sample_ray(
+                aabb, step, S, centers, dirs, jax.random.PRNGKey(0),
+                self.near_far[0], self.near_far[1], stratified=False)
+            from ..models.alpha_mask import AlphaMask as AM
+            a = sample_alpha(AM(grid=mask_grid, aabb=mask_aabb),
+                             pts.reshape(-1, 3)).reshape(pts.shape[:2])
+            alive = in_bbox & (a > 0)
+            return jnp.max(jnp.sum(alive, axis=-1))
+
+        mx = int(alive_max(centers, dirs, aabb, self.alpha_mask.grid,
+                           self.alpha_mask.aabb))
+        k = min(S, max(64, int(-(-int(mx * 1.25) // 64) * 64)))
+        if k >= S:
+            return None
+        return k
 
     def run(self, max_iter: Optional[int] = None, log_every: int = 100,
             callback=None):

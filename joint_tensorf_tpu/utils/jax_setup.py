@@ -22,6 +22,11 @@ def setup_jax(cache_dir: str | None = None):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass
+    # TPU matmuls default to bf16 inputs; the 3x3 pose compositions and ray
+    # transforms then quantize ray directions by ~1e-3 (RR^T - I ~ 4e-3),
+    # which silently corrupts joint pose optimization.  Keep matmuls f32 —
+    # the compute-bound ops here are gathers/scatters, not matmuls.
+    jax.config.update("jax_default_matmul_precision", "highest")
     # Some PJRT plugins (the axon TPU tunnel in this image) force-register
     # and ignore the JAX_PLATFORMS env var; re-assert the user's choice.
     env_platforms = os.environ.get("JAX_PLATFORMS")

@@ -115,6 +115,30 @@ def test_app_feature_shape_and_grad():
     assert np.abs(np.asarray(g)).max() > 0
 
 
+def test_fused_features_match_separate():
+    """The fused 64-wide gather path must be bit-identical to the separate
+    density/appearance paths, sharp and blurred."""
+    state = make_state()
+    coords = jnp.asarray(np.random.default_rng(7).uniform(-0.95, 0.95, (64, 3)),
+                         jnp.float32)
+    s1 = vm_lib.compute_density_feature(state, CFG, coords)
+    a1 = vm_lib.compute_app_feature(state, CFG, coords)
+    s2, a2 = vm_lib.compute_fused_features(state, CFG, coords)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    k_d = kernel_ops.gaussian_kernel(1.5, 9)
+    k_c = kernel_ops.gaussian_kernel(0.8, 9)
+    md = vm_lib.make_blur_mats(k_d, state.resolution())
+    mc = vm_lib.make_blur_mats(k_c, state.resolution())
+    s1 = vm_lib.compute_density_feature(state, CFG, coords, blur_mats=md)
+    a1 = vm_lib.compute_app_feature(state, CFG, coords, blur_mats=mc)
+    s2, a2 = vm_lib.compute_fused_features(state, CFG, coords, d_mats=md,
+                                           c_mats=mc)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
 def test_cp_decomposition():
     cfg = dataclasses.replace(CFG, decomposition="CP",
                               density_n_comp=(4, 4, 4), app_n_comp=(6, 6, 6))
