@@ -111,10 +111,12 @@ def main():
                   idx, key, s, mask)
 
     def measure(fn, mask, iters=15):
+        import sys
         st = state
         for i in range(3):
             st, metrics = run_iter(st, i, fn, mask)
-        float(metrics["loss"])  # force full execution to host
+            float(metrics["loss"])  # sync each warmup iter
+            print(f"[bench] warmup {i} ok", file=sys.stderr)
         # NOTE: force a host transfer every iteration — on the tunneled axon
         # backend block_until_ready alone under-reports wall time.
         t0 = time.perf_counter()
@@ -123,8 +125,11 @@ def main():
             float(metrics["loss"])
         return (time.perf_counter() - t0) / iters
 
+    import sys
     t_dense = measure(step, None)
+    print(f"[bench] dense {t_dense*1000:.1f} ms", file=sys.stderr)
     t_compact = measure(step_c, alpha_mask)
+    print(f"[bench] compact {t_compact*1000:.1f} ms", file=sys.stderr)
 
     # schedule-weighted: 30% of iterations pre-alphamask (dense), 70% after
     t_mix = 0.3 * t_dense + 0.7 * t_compact

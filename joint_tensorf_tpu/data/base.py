@@ -76,4 +76,10 @@ def load_dataset(opt, split: str = "train", subset: int | None = None) -> SceneD
     if name == "synthetic":
         from . import synthetic
         return synthetic.load(opt, split, subset)
+    if name == "t2":
+        from . import t2
+        return t2.load(opt, split, subset)
+    if name == "iphone":
+        from . import iphone
+        return iphone.load(opt, split, subset)
     raise ValueError(f"unknown dataset {name!r}")

@@ -45,6 +45,14 @@ class RenderConfig:
     stop_coord_grad: bool = False    # True for the pose-frozen TensoRF path
     use_alpha_mask: bool = False
     mlp_predict_density: bool = False
+    # rematerialize the shading MLP in the backward pass: its activations at
+    # n_rays x n_samples resolution dominate peak HBM (jax.checkpoint trades
+    # them for a recompute — SURVEY.md hardware notes)
+    remat_shading: bool = True
+    # rematerialize the fused factor sampling: the saved per-corner gather
+    # outputs ([N*S, 64] x 6) are the other multi-GB residual; recomputing
+    # the gathers in the backward pass costs ~2x forward gather time
+    remat_features: bool = True
     # static per-ray sample budget after alpha-mask compaction; None = dense.
     # The TPU analogue of the reference's boolean sample culling
     # (tensorBase.py:750-755): per ray, keep the top-K samples by mask
@@ -210,9 +218,14 @@ def render_rays(
         sigma_feature = sigma_feature.reshape(n, S)
     elif vm_lib.can_fuse_features(cfg):
         # one fused 64-wide gather serves both density and appearance
-        sigma_feature, fused_app_feat = vm_lib.compute_fused_features(
-            state, cfg, coords, d_mats=d_mats, c_mats=c_mats,
-            stop_coord_grad=rcfg.stop_coord_grad)
+        def fused(st, c, dm, cm):
+            return vm_lib.compute_fused_features(
+                st, cfg, c, d_mats=dm, c_mats=cm,
+                stop_coord_grad=rcfg.stop_coord_grad)
+
+        if rcfg.remat_features:
+            fused = jax.checkpoint(fused)
+        sigma_feature, fused_app_feat = fused(state, coords, d_mats, c_mats)
         sigma_feature = sigma_feature.reshape(n, S)
         rgb_all = None
     else:
@@ -245,9 +258,15 @@ def render_rays(
             app_feat = vm_lib.compute_app_feature(
                 state, cfg, coords, blur_mats=c_mats,
                 stop_coord_grad=rcfg.stop_coord_grad)
-        rgb = head.apply(state.shading, mlp_pts.reshape(-1, 3),
-                         mlp_viewdirs.reshape(-1, 3), app_feat,
-                         view_pe_progress, fea_pe_progress)
+
+        def shade(shading_params, p, v, f, vp, fp):
+            return head.apply(shading_params, p, v, f, vp, fp)
+
+        if rcfg.remat_shading:
+            shade = jax.checkpoint(shade)
+        rgb = shade(state.shading, mlp_pts.reshape(-1, 3),
+                    mlp_viewdirs.reshape(-1, 3), app_feat,
+                    view_pe_progress, fea_pe_progress)
         rgb = rgb.reshape(n, S, 3)
     rgb = rgb * app_gate[..., None]
 

@@ -58,6 +58,49 @@ def save_checkpoint(path: str, trainer) -> None:
     np.savez_compressed(path, **payload)
 
 
+def save_simple_checkpoint(path: str, trainer) -> None:
+    """Checkpoint for trainers without phase machinery (barf/nerf/planar):
+    params + optimizer moments + iteration."""
+    arrays, _ = _flatten_with_paths({"params": trainer.params,
+                                     "opt_state": trainer.opt_state})
+    payload = {f"state/{k}": v for k, v in arrays.items()}
+    payload["key"] = np.asarray(trainer.key)
+    if getattr(trainer, "pose_noise", None) is not None:
+        payload["pose_noise"] = np.asarray(trainer.pose_noise)
+    meta = {"it": trainer.it,
+            "rng_state": trainer.rng_np.bit_generator.state}
+    payload["meta_json"] = np.frombuffer(json.dumps(meta).encode(),
+                                         dtype=np.uint8)
+    np.savez_compressed(path, **payload)
+
+
+def restore_simple_checkpoint(path: str, trainer) -> None:
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(data["meta_json"]).decode())
+    arrays = {k[len("state/"):]: data[k] for k in data.files
+              if k.startswith("state/")}
+    tree = {"params": trainer.params, "opt_state": trainer.opt_state}
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    leaves = []
+    for pth, leaf in flat:
+        key = "/".join(str(p) for p in pth)
+        if key not in arrays:
+            raise KeyError(f"checkpoint missing leaf {key}")
+        leaves.append(jnp.asarray(arrays[key]))
+    restored = jax.tree_util.tree_unflatten(treedef, leaves)
+    trainer.params = restored["params"]
+    trainer.opt_state = restored["opt_state"]
+    trainer.it = int(meta["it"])
+    trainer.rng_np.bit_generator.state = meta["rng_state"]
+    trainer.key = jnp.asarray(data["key"])
+    if "pose_noise" in data.files:
+        from ..geometry import poses as pose_ops
+
+        trainer.pose_noise = jnp.asarray(data["pose_noise"])
+        trainer.pose_base = pose_ops.compose([trainer.pose_noise,
+                                              trainer.gt_poses])
+
+
 def restore_checkpoint(path: str, trainer) -> None:
     """Restore a trainer in place (shapes are rebuilt from the stored
     arrays; optimizer moments restore exactly)."""

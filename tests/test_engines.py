@@ -1,0 +1,93 @@
+"""Engine-level tests: BARF MLP-NeRF, checkpoint roundtrips, planar trainer."""
+import os
+
+import numpy as np
+import pytest
+
+from joint_tensorf_tpu.config import set_options
+from joint_tensorf_tpu.data import load_dataset
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def barf_opt():
+    return set_options(os.path.join(REPO, "configs", "barf_blender.yaml"), [
+        "--max_iter=10", "--data.dataset=synthetic",
+        "--data.image_size=[32,32]", "--data.n_views=4",
+        "--nerf.sample_intvs=32", "--nerf.n_rays=128", "--camera.noise=0.05",
+        "--barf_c2f=[0.1,0.5]",
+    ])
+
+
+def test_barf_trainer_smoke():
+    from joint_tensorf_tpu.train.barf_trainer import BarfTrainer
+
+    opt = barf_opt()
+    scene = load_dataset(opt, "train")
+    tr = BarfTrainer(opt, scene)
+    hist = tr.run(max_iter=10, log_every=5)
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    # pose table moved
+    assert np.abs(np.asarray(tr.params.se3_refine)).max() > 0
+    err = tr.pose_error()
+    assert np.isfinite(err["rot_deg"])
+    out = tr.validate(scene, align=True)
+    assert np.isfinite(out["psnr"])
+
+
+def test_simple_checkpoint_roundtrip(tmp_path):
+    from joint_tensorf_tpu.train.barf_trainer import BarfTrainer
+    from joint_tensorf_tpu.train.checkpoint import (restore_simple_checkpoint,
+                                                    save_simple_checkpoint)
+
+    opt = barf_opt()
+    scene = load_dataset(opt, "train")
+    tr = BarfTrainer(opt, scene)
+    tr.run(max_iter=3, log_every=1)
+    path = str(tmp_path / "ckpt.npz")
+    save_simple_checkpoint(path, tr)
+
+    tr2 = BarfTrainer(opt, scene)
+    restore_simple_checkpoint(path, tr2)
+    assert tr2.it == tr.it
+    np.testing.assert_array_equal(np.asarray(tr2.params.se3_refine),
+                                  np.asarray(tr.params.se3_refine))
+    leaves1 = [np.asarray(x) for x in
+               __import__("jax").tree.leaves(tr.params.mlp)]
+    leaves2 = [np.asarray(x) for x in
+               __import__("jax").tree.leaves(tr2.params.mlp)]
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_vm_checkpoint_roundtrip(tmp_path):
+    from joint_tensorf_tpu.train.checkpoint import (restore_checkpoint,
+                                                    save_checkpoint)
+    from joint_tensorf_tpu.train.trainer import Trainer
+
+    opt = set_options(os.path.join(REPO, "configs",
+                                   "tensorf_synthetic_small.yaml"), [
+        "--max_iter=30", "--data.image_size=[32,32]", "--data.n_views=4",
+        "--train_schedule.n_voxel_init=4096",
+        "--train_schedule.n_voxel_final=32768",
+        "--train_schedule.upsample_iters=[5]",
+        "--train_schedule.update_alphamask_iters=[10]",
+        "--nerf.sample_intvs=32", "--nerf.n_rays=128",
+    ])
+    scene = load_dataset(opt, "train")
+    tr = Trainer(opt, scene)
+    tr.run(max_iter=12, log_every=5)   # crosses upsample + alphamask/shrink
+    path = str(tmp_path / "ckpt.npz")
+    from joint_tensorf_tpu.train.checkpoint import save_checkpoint
+    save_checkpoint(path, tr)
+
+    tr2 = Trainer(opt, scene)
+    restore_checkpoint(path, tr2)
+    assert tr2.it == tr.it
+    assert tr2.resolution == tr.resolution
+    assert (tr2.alpha_mask is None) == (tr.alpha_mask is None)
+    a = np.asarray(tr.state.params.field.density_planes[0])
+    b = np.asarray(tr2.state.params.field.density_planes[0])
+    np.testing.assert_array_equal(a, b)
+    # training continues from the restored state without error
+    tr2.run(max_iter=14, log_every=1)

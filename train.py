@@ -38,7 +38,10 @@ def main(argv):
         json.dump(opt.to_dict(), f, indent=2, default=str)
 
     from joint_tensorf_tpu.data import load_dataset
-    from joint_tensorf_tpu.train.trainer import Trainer
+    if opt.model in ("barf", "nerf"):
+        from joint_tensorf_tpu.train.barf_trainer import BarfTrainer as Trainer
+    else:
+        from joint_tensorf_tpu.train.trainer import Trainer
 
     print(f"[data] loading {opt.data.dataset}/{opt.data.get('scene', '')} ...")
     train_data = load_dataset(opt, opt.get("train_split", "train"),
@@ -51,21 +54,50 @@ def main(argv):
         val_data = train_data
 
     trainer = Trainer(opt, train_data, val_data)
+    desc = (f"res={trainer.resolution} n_samples={trainer.n_samples}"
+            if hasattr(trainer, "resolution")
+            else f"mlp L_3D={trainer.mlp_cfg.L_3D}")
     print(f"[train] {opt.model} | views={train_data.n_views} "
-          f"res={trainer.resolution} n_samples={trainer.n_samples} "
-          f"max_iter={trainer.max_iter}")
+          f"{desc} max_iter={trainer.max_iter}")
+
+    # ---- resume (reference util.restore_checkpoint semantics)
+    ckpt_file = os.path.join(out_dir, "model.ckpt.npz")
+    if opt.get("resume") and os.path.exists(ckpt_file):
+        from joint_tensorf_tpu.train import checkpoint as ckpt_lib
+        if hasattr(trainer, "state"):
+            ckpt_lib.restore_checkpoint(ckpt_file, trainer)
+        else:
+            ckpt_lib.restore_simple_checkpoint(ckpt_file, trainer)
+        print(f"[resume] restored it={trainer.it}")
+
+    # ---- profiling mode (reference train_3d.py:52-86: trace a few
+    # iterations then stop)
+    if opt.get("profiling"):
+        import jax
+
+        trainer.run(max_iter=trainer.it + 5, log_every=1)  # warmup
+        with jax.profiler.trace(os.path.join(out_dir, "jax_trace")):
+            trainer.run(max_iter=trainer.it + 3, log_every=1)
+        print(f"[profiling] trace written to {out_dir}/jax_trace — exiting "
+              f"(profiling mode does not continue training)")
+        return
 
     log_path = os.path.join(out_dir, "log.jsonl")
     t0 = time.time()
 
+    pose_optimizing = getattr(trainer, "is_bat", False) or \
+        getattr(trainer, "is_barf", False)
+
     def on_log(tr, m):
         line = dict(m)
-        if tr.is_bat and tr.it % max(1, int(opt.freq.get("scalar", 200)) * 4) == 0:
+        if pose_optimizing and \
+                tr.it % max(1, int(opt.freq.get("scalar", 200)) * 4) == 0:
             line.update(tr.pose_error())
         with open(log_path, "a") as f:
             f.write(json.dumps(line) + "\n")
-        msg = (f"it {tr.it:6d} | loss {m['loss']:.5f} | psnr {m['psnr']:.2f} "
-               f"| lr {tr.lr_index:.2e}")
+        msg = f"it {tr.it:6d} | loss {m['loss']:.5f} | psnr {m['psnr']:.2f}"
+        if hasattr(tr, "lr_index"):
+            msg += f" | lr {tr.lr_index:.2e}"
         if "rot_deg" in line:
             msg += f" | rot {line['rot_deg']:.3f}° trans {line['trans']:.4f}"
         print(msg, flush=True)
@@ -75,16 +107,21 @@ def main(argv):
     # final evaluation
     result = {"wall_s": time.time() - t0, "iters": trainer.it}
     if val_data is not None:
-        val = trainer.validate(val_data, align=trainer.is_bat)
+        val = trainer.validate(val_data, align=pose_optimizing)
         result["val_psnr"] = val["psnr"]
-    if trainer.is_bat:
+    if pose_optimizing:
         result.update(trainer.pose_error())
     with open(os.path.join(out_dir, "quant.json"), "w") as f:
         json.dump(result, f, indent=2)
     print("[done]", json.dumps(result))
 
-    from joint_tensorf_tpu.train.checkpoint import save_checkpoint
-    save_checkpoint(os.path.join(out_dir, "model.ckpt.npz"), trainer)
+    if hasattr(trainer, "state"):
+        from joint_tensorf_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(os.path.join(out_dir, "model.ckpt.npz"), trainer)
+    else:
+        from joint_tensorf_tpu.train.checkpoint import save_simple_checkpoint
+        save_simple_checkpoint(os.path.join(out_dir, "model.ckpt.npz"),
+                               trainer)
     print(f"[ckpt] saved to {out_dir}/model.ckpt.npz")
 
 
