@@ -58,11 +58,19 @@ def main():
                      n_samples=n_samples, pose_opt=True, use_pose_noise=True)
     step = make_train_step(cfg, vm_cfg, head)
 
+    # early-phase variant: the voxel schedule spends iterations 0-9000 at
+    # 64^3..~300^3 with proportionally fewer samples; model it at 128^3/443
+    state_e = init_train_state(jax.random.PRNGKey(0), vm_cfg, (128, 128, 128),
+                               aabb, n_views)
+    cfg_e = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
+                       n_samples=443, pose_opt=True, use_pose_noise=True)
+    step_e = make_train_step(cfg_e, vm_cfg, head)
+
     # late-phase variant: alpha-mask culling + sample compaction, the regime
     # ~70% of the reference schedule runs in (alphamask from it=12k of 40k)
     import dataclasses
 
-    from joint_tensorf_tpu.models.alpha_mask import AlphaMask
+    from joint_tensorf_tpu.models.alpha_mask import AlphaMask, pack_neighborhoods
 
     compact_k = 256
     cfg_c = dataclasses.replace(cfg, use_alpha_mask=True,
@@ -100,8 +108,9 @@ def main():
         occ = ndimage.binary_dilation(occ > 0, iterations=8).astype(np.float32)
     except Exception:
         pass
-    alpha_mask = AlphaMask(grid=jnp.asarray(occ),
-                           aabb=state.params.field.aabb)
+    occ_grid = jnp.asarray(occ)
+    alpha_mask = AlphaMask(grid=occ_grid, aabb=state.params.field.aabb,
+                           packed=pack_neighborhoods(occ_grid))
 
     def run_iter(st, i, fn, mask):
         idx = jnp.asarray(rng.permutation(H * W)[:rays_per_view]
@@ -110,9 +119,9 @@ def main():
         return fn(st, pose_base, intr, intr_inv, images, edges, view_sel,
                   idx, key, s, mask)
 
-    def measure(fn, mask, iters=15):
+    def measure(fn, mask, iters=15, st=None):
         import sys
-        st = state
+        st = state if st is None else st
         for i in range(3):
             st, metrics = run_iter(st, i, fn, mask)
             float(metrics["loss"])  # sync each warmup iter
@@ -126,20 +135,26 @@ def main():
         return (time.perf_counter() - t0) / iters
 
     import sys
+    t_early = measure(step_e, None, st=state_e)
+    print(f"[bench] early {t_early*1000:.1f} ms", file=sys.stderr)
     t_dense = measure(step, None)
     print(f"[bench] dense {t_dense*1000:.1f} ms", file=sys.stderr)
     t_compact = measure(step_c, alpha_mask)
     print(f"[bench] compact {t_compact*1000:.1f} ms", file=sys.stderr)
 
-    # schedule-weighted: 30% of iterations pre-alphamask (dense), 70% after
-    t_mix = 0.3 * t_dense + 0.7 * t_compact
+    # schedule-weighted over the bat_blender_VM phases: iterations 0-9000
+    # grow 64^3 -> 400^3 (modeled at 128^3/443 samples), 9000-12000 run
+    # dense at full resolution, 12000-40000 run with the alpha mask
+    # (compacted).
+    t_mix = 0.225 * t_early + 0.075 * t_dense + 0.7 * t_compact
     rays_per_sec = n_rays / t_mix
     print(json.dumps({
         "metric": "rays_per_sec_train",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-        "detail": {"ms_dense": round(t_dense * 1000, 1),
+        "detail": {"ms_early": round(t_early * 1000, 1),
+                   "ms_dense": round(t_dense * 1000, 1),
                    "ms_compacted": round(t_compact * 1000, 1),
                    "compact_k": compact_k, "n_rays": n_rays,
                    "n_samples": n_samples},

@@ -40,18 +40,36 @@ def _interpret() -> bool:
 
 
 
+def _tri_lower_strict(S, dtype):
+    """L[i, j] = 1 where j < i — exclusive-scan matmul operand.
+
+    Mosaic has no cumprod/cumsum primitive; scans become one MXU matmul:
+    exclusive_cumsum(x) = x @ L^T with this mask.
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    return (col < row).astype(dtype)
+
+
+def _excl_cumsum(x, tri):
+    """Exclusive cumsum along the last axis via triangular matmul."""
+    return jax.lax.dot_general(
+        x, tri, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(alpha_ref, rgb_ref, z_ref, rgbmap_ref, depth_ref, acc_ref,
                 weights_ref):
     alpha = alpha_ref[:]                                   # [TN, S]
+    S = alpha.shape[-1]
     u = 1.0 - alpha + EPS
-    T_incl = jnp.cumprod(u, axis=-1)
-    T_excl = jnp.concatenate(
-        [jnp.ones_like(T_incl[:, :1]), T_incl[:, :-1]], axis=-1)
+    tri = _tri_lower_strict(S, alpha.dtype)
+    # exclusive transmittance: T_i = exp(sum_{j<i} log u_j);  u in (eps, 1]
+    T_excl = jnp.exp(_excl_cumsum(jnp.log(u), tri))
     w = alpha * T_excl                                     # [TN, S]
     weights_ref[:] = w
     acc_ref[:] = jnp.sum(w, axis=-1, keepdims=True)
     depth_ref[:] = jnp.sum(w * z_ref[:], axis=-1, keepdims=True)
-    # rgb: [TN, S, 3] stored as [TN, S*3] interleaved per channel blocks
     rgb = rgb_ref[:]                                       # [TN, 3, S]
     rgbmap_ref[:] = jnp.sum(w[:, None, :] * rgb, axis=-1)  # [TN, 3]
 
@@ -67,12 +85,13 @@ def _bwd_kernel(alpha_ref, rgb_ref, z_ref, weights_ref,
     g_w = (jnp.sum(g_rgbmap_ref[:][:, :, None] * rgb, axis=1)
            + g_depth_ref[:] * z_ref[:]
            + g_acc_ref[:])                                 # [TN, S]
-    # suffix sum of w_k g_k over k > i
-    s = jnp.cumsum((w * g_w)[:, ::-1], axis=-1)[:, ::-1]   # inclusive from i
-    suffix = s - w * g_w                                   # strictly k > i
-    T_incl = jnp.cumprod(u, axis=-1)
-    T_excl = jnp.concatenate(
-        [jnp.ones_like(T_incl[:, :1]), T_incl[:, :-1]], axis=-1)
+    S = alpha.shape[-1]
+    tri = _tri_lower_strict(S, alpha.dtype)
+    # strict suffix sum over k > i = strict-lower matmul with swapped sides
+    suffix = jax.lax.dot_general(
+        w * g_w, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    T_excl = jnp.exp(_excl_cumsum(jnp.log(u), tri))
     d_alpha_ref[:] = T_excl * g_w - suffix / u
     d_rgb_ref[:] = g_rgbmap_ref[:][:, :, None] * w[:, None, :]
 

@@ -140,12 +140,14 @@ def restore_checkpoint(path: str, trainer) -> None:
         trainer.pose_base = pose_ops.compose([trainer.pose_noise,
                                               trainer.gt_poses])
     if meta["has_alpha_mask"]:
-        from ..models.alpha_mask import AlphaMask
+        from ..models.alpha_mask import AlphaMask, pack_neighborhoods
 
         shape = tuple(int(s) for s in data["alpha_mask/shape"])
         n = int(np.prod(shape))
         grid = np.unpackbits(data["alpha_mask/packed"])[:n].reshape(shape)
+        grid = jnp.asarray(grid, jnp.float32)
         trainer.alpha_mask = AlphaMask(
-            grid=jnp.asarray(grid, jnp.float32),
-            aabb=jnp.asarray(data["alpha_mask/aabb"]))
+            grid=grid, aabb=jnp.asarray(data["alpha_mask/aabb"]),
+            packed=pack_neighborhoods(grid))
+        trainer.compact_k = trainer._probe_compact_k()
     trainer._step_cfg = None  # force step rebuild with restored shapes

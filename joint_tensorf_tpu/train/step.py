@@ -118,6 +118,10 @@ class StepConfig:
             use_alpha_mask=self.use_alpha_mask,
             mlp_predict_density=self.mlp_predict_density,
             compact_k=self.compact_k,
+            # compaction already bounds backward residuals; skip the
+            # recompute overhead there
+            remat_shading=self.compact_k is None,
+            remat_features=self.compact_k is None,
         )
 
 

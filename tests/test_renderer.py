@@ -113,6 +113,30 @@ def test_ndc_path_runs():
     assert np.isfinite(np.asarray(rgb)).all()
 
 
+def test_pallas_composite_path_matches_jnp():
+    state, head, centers, dirs = setup()
+    rcfg = RenderConfig(n_samples=48, is_train=False)
+    rcfg_p = dataclasses.replace(rcfg, use_pallas_composite=True)
+    rgb_j, dep_j, op_j = render(state, head, centers, dirs, rcfg)
+    rgb_p, dep_p, op_p = render(state, head, centers, dirs, rcfg_p)
+    # the pallas path skips the weight>thres gate: bounded by thres*S
+    np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_j),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(op_p), np.asarray(op_j), atol=1e-5)
+
+    # gradients through both paths agree
+    def loss(fn_cfg, offset):
+        rgb, _, _ = render_rays(state, CFG, fn_cfg, head, centers + offset,
+                                dirs, jax.random.PRNGKey(1),
+                                jnp.array([2.0, 6.0]))
+        return jnp.mean(rgb)
+
+    g_j = jax.grad(lambda o: loss(rcfg, o))(jnp.zeros(3))
+    g_p = jax.grad(lambda o: loss(rcfg_p, o))(jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j), atol=1e-4,
+                               rtol=1e-2)
+
+
 def test_pose_gradients_flow_through_render():
     state, head, centers, dirs = setup()
     rcfg = RenderConfig(n_samples=48, is_train=False, stop_coord_grad=False)
