@@ -34,6 +34,8 @@ from .optim import AdamState, adam_init, adam_update
 class BarfParams:
     mlp: dict
     se3_refine: jnp.ndarray
+    # separate fine network for hierarchical sampling (nerf.py:648, :723-724)
+    mlp_fine: Optional[dict] = None
 
 
 class BarfTrainer:
@@ -83,10 +85,16 @@ class BarfTrainer:
         self.intr_inv = jnp.asarray(train_data.intr_inv)
         self.near_far = jnp.asarray(train_data.near_far, jnp.float32)
 
+        self.fine_sampling = bool(opt.nerf.get("fine_sampling", False))
         mk, self.key = jax.random.split(self.key)
+        mlp_fine = None
+        if self.fine_sampling:
+            fk, mk = jax.random.split(mk)
+            mlp_fine = nerf_mlp.init_nerf_mlp(fk, self.mlp_cfg)
         self.params = BarfParams(
             mlp=nerf_mlp.init_nerf_mlp(mk, self.mlp_cfg),
-            se3_refine=jnp.zeros((n_views, 6)))
+            se3_refine=jnp.zeros((n_views, 6)),
+            mlp_fine=mlp_fine)
         self.opt_state = adam_init(self.params)
 
         # lr schedules (ExponentialLR toward lr_end, nerf.py:48-55)
@@ -115,6 +123,13 @@ class BarfTrainer:
         bgcolor = float(opt.data.get("bgcolor", 1) or 1)
         density_noise = float(opt.nerf.get("density_noise_reg") or 0.0)
         pose_opt = self.is_barf
+        fine_sampling = self.fine_sampling
+        n_fine = int(opt.nerf.get("sample_intvs_fine") or 0)
+        # log-scale loss weights (base.py:175: 10**w)
+        lw = opt.get("loss_weight", {})
+        w_render = 10.0 ** float(lw.get("render") or 0.0)
+        w_fine = (10.0 ** float(lw.get("render_fine"))
+                  if lw.get("render_fine") is not None else 0.0)
 
         def loss_fn(params: BarfParams, view_sel, ray_idx, rng, progress,
                     pose_base, images):
@@ -143,11 +158,33 @@ class BarfTrainer:
             rgb_s, dens_s = nerf_mlp.apply_nerf_mlp(
                 params.mlp, cfg, pts, ray_unit_s, progress=progress,
                 density_noise=density_noise, rng=r2)
-            rgb, depth_map, opacity, _ = nerf_mlp.composite(
+            rgb, depth_map, opacity, prob = nerf_mlp.composite(
                 cfg, d, rgb_s, dens_s, depth, setbg, bgcolor)
             target = jnp.take(images[view_sel], ray_idx, axis=1).reshape(-1, 3)
             m = losses.mse(rgb, target)
-            return m, {"mse": m, "psnr": losses.psnr_from_mse(m)}
+            loss = w_render * m
+            metrics = {"mse": m, "psnr": losses.psnr_from_mse(m)}
+            if fine_sampling:
+                # resample by the coarse pdf, union + sort (nerf.py:717-724)
+                prob = jax.lax.stop_gradient(prob)
+                depth_fine = nerf_mlp.sample_depth_from_pdf(
+                    None, prob, self.near_far, n_fine)
+                depth_b = jnp.broadcast_to(depth, prob.shape)
+                depth_all = jnp.sort(
+                    jnp.concatenate([depth_b, depth_fine], axis=-1), axis=-1)
+                pts_f = c[:, None, :] + d[:, None, :] * depth_all[..., None]
+                ray_unit_f = jnp.broadcast_to(ray_unit[:, None, :], pts_f.shape)
+                rgb_fs, dens_fs = nerf_mlp.apply_nerf_mlp(
+                    params.mlp_fine, cfg, pts_f, ray_unit_f, progress=progress,
+                    density_noise=density_noise, rng=r2)
+                rgb_f, _, _, _ = nerf_mlp.composite(
+                    cfg, d, rgb_fs, dens_fs, depth_all, setbg, bgcolor)
+                m_f = losses.mse(rgb_f, target)
+                loss = loss + w_fine * m_f
+                # the fine branch defines the headline PSNR (nerf.py:297)
+                metrics = {"mse": m_f, "psnr": losses.psnr_from_mse(m_f),
+                           "psnr_coarse": losses.psnr_from_mse(m)}
+            return loss, metrics
 
         @jax.jit
         def step(params, opt_state, view_sel, ray_idx, rng, progress, lr,
@@ -156,7 +193,8 @@ class BarfTrainer:
                 params, view_sel, ray_idx, rng, progress, pose_base, images)
             lr_tree = BarfParams(
                 mlp=jax.tree.map(lambda _: lr, params.mlp),
-                se3_refine=lr_pose)
+                se3_refine=lr_pose,
+                mlp_fine=jax.tree.map(lambda _: lr, params.mlp_fine))
             new_params, opt_state = adam_update(grads, opt_state, params,
                                                 lr_tree, b2=0.999)
             metrics["loss"] = loss
@@ -239,10 +277,26 @@ class BarfTrainer:
             ray_unit_s = jnp.broadcast_to(ray_unit[:, None, :], pts.shape)
             rgb_s, dens_s = nerf_mlp.apply_nerf_mlp(
                 params.mlp, cfg, pts, ray_unit_s, progress=1.0)
-            rgb, depth_map, opacity, _ = nerf_mlp.composite(
+            rgb, depth_map, opacity, prob = nerf_mlp.composite(
                 cfg, d, rgb_s, dens_s, depth,
                 bool(opt.nerf.get("setbg_opaque", False)),
                 float(opt.data.get("bgcolor", 1) or 1))
+            if self.fine_sampling:
+                n_fine = int(opt.nerf.get("sample_intvs_fine") or 0)
+                depth_fine = nerf_mlp.sample_depth_from_pdf(
+                    None, prob, self.near_far, n_fine)
+                depth_b = jnp.broadcast_to(depth, prob.shape)
+                depth_all = jnp.sort(
+                    jnp.concatenate([depth_b, depth_fine], axis=-1), axis=-1)
+                pts_f = c[:, None, :] + d[:, None, :] * depth_all[..., None]
+                ray_unit_f = jnp.broadcast_to(ray_unit[:, None, :],
+                                              pts_f.shape)
+                rgb_fs, dens_fs = nerf_mlp.apply_nerf_mlp(
+                    params.mlp_fine, cfg, pts_f, ray_unit_f, progress=1.0)
+                rgb, depth_map, opacity, _ = nerf_mlp.composite(
+                    cfg, d, rgb_fs, dens_fs, depth_all,
+                    bool(opt.nerf.get("setbg_opaque", False)),
+                    float(opt.data.get("bgcolor", 1) or 1))
             return rgb, depth_map, opacity
 
         B = pose.shape[0]

@@ -669,6 +669,39 @@ class Trainer:
         psnr = float(jnp.mean(-10 * jnp.log10(mse_per)))
         return {"psnr": psnr, "rgb": rgb, "depth": depth}
 
+    def visualize_pose_gradient(self, view: int = 0, n_rays_chunk: int = 256):
+        """Per-pixel pose-jacobian heatmaps for one training view
+        (nerf.py:444-517).  Returns (rot [3,H,W], trans [3,H,W])."""
+        from ..geometry.rays import get_center_and_ray
+        from ..render.renderer import RenderConfig, render_rays
+        from ..viz.grad_viz import delta_pose, pose_gradient_maps
+
+        pose_all, _ = self.get_all_training_poses()
+        pose = pose_all[view:view + 1]
+        intr_inv = self.intr_inv[view:view + 1]
+        image = self.images_sharp[view]               # [H*W, 3]
+        rcfg = RenderConfig(
+            n_samples=self.n_samples, is_train=False,
+            ndc=bool(self.opt.camera.get("ndc", False)),
+            white_bg=bool(self.opt.nerf.get("setbg_opaque", True)),
+            stop_coord_grad=False)
+        near_far = jnp.asarray(self._near_far(), jnp.float32)
+        state = self.state.params.field
+        key = jax.random.PRNGKey(0)
+
+        def render_mse(delta, ray_idx):
+            dp = delta_pose(delta)[None]
+            p = pose_ops.compose_pair(dp, pose)
+            centers, dirs = get_center_and_ray(self.H, self.W, p, intr_inv,
+                                               ray_idx=ray_idx)
+            rgb, _, _ = render_rays(state, self.vm_cfg, rcfg, self.head,
+                                    centers.reshape(-1, 3),
+                                    dirs.reshape(-1, 3), key, near_far,
+                                    alpha_mask=self.alpha_mask)
+            return (rgb - image[ray_idx]) ** 2
+
+        return pose_gradient_maps(render_mse, self.H, self.W, n_rays_chunk)
+
     def pose_error(self):
         """Mean rotation (deg) / translation error after sim3 alignment."""
         from ..geometry import align as align_lib
