@@ -63,6 +63,67 @@ def resize_images(images: np.ndarray, target_hw) -> np.ndarray:
     return np.asarray(out)
 
 
+def generate_augmentation(opt, rng: np.random.Generator):
+    """Sample one augmentation (reference data/base.py:74-90).
+
+    Returns dict(brightness, contrast, saturation, hue, flip, rot_angle)
+    with factors drawn uniformly like torchvision ColorJitter.get_params.
+    """
+    aug_cfg = opt.data.get("augment") or {}
+    def _rng(lo, hi):
+        return float(rng.uniform(lo, hi))
+    b = float(aug_cfg.get("brightness") or 0.0)
+    c = float(aug_cfg.get("contrast") or 0.0)
+    s = float(aug_cfg.get("saturation") or 0.0)
+    h = float(aug_cfg.get("hue") or 0.0)
+    return {
+        "brightness": _rng(1 - b, 1 + b),
+        "contrast": _rng(1 - c, 1 + c),
+        "saturation": _rng(1 - s, 1 + s),
+        "hue": _rng(-h, h),
+        "flip": bool(rng.standard_normal() > 0) if aug_cfg.get("hflip")
+                else False,
+        "rot_angle": ((rng.random() * 2 - 1) * float(aug_cfg["rotate"])
+                      if aug_cfg.get("rotate") else 0.0),
+    }
+
+
+def apply_color_jitter(images: np.ndarray, aug: dict) -> np.ndarray:
+    """Brightness/contrast/saturation/hue on [..., 3, H, W] float in [0,1]
+    (numpy port of the torchvision functional ops the reference applies,
+    data/base.py:92-101)."""
+    img = images.astype(np.float32)
+    img = np.clip(img * aug["brightness"], 0, 1)
+    gray = (0.299 * img[..., 0, :, :] + 0.587 * img[..., 1, :, :]
+            + 0.114 * img[..., 2, :, :])
+    img = np.clip(aug["contrast"] * img
+                  + (1 - aug["contrast"]) * gray.mean(axis=(-2, -1),
+                                                      keepdims=True)[..., None, :, :],
+                  0, 1)
+    img = np.clip(aug["saturation"] * img
+                  + (1 - aug["saturation"]) * gray[..., None, :, :], 0, 1)
+    if aug["hue"]:
+        # hue rotation via the YIQ approximation (exact HSV shift is what
+        # torchvision does; for the small |hue|<=0.5 jitters used in
+        # configs the YIQ rotation matches closely and stays vectorized)
+        theta = 2 * np.pi * aug["hue"]
+        u, w = np.cos(theta), np.sin(theta)
+        t = np.array([
+            [0.299 + 0.701 * u + 0.168 * w,
+             0.587 - 0.587 * u + 0.330 * w,
+             0.114 - 0.114 * u - 0.497 * w],
+            [0.299 - 0.299 * u - 0.328 * w,
+             0.587 + 0.413 * u + 0.035 * w,
+             0.114 - 0.114 * u + 0.292 * w],
+            [0.299 - 0.300 * u + 1.250 * w,
+             0.587 - 0.588 * u - 1.050 * w,
+             0.114 + 0.886 * u - 0.203 * w]], np.float32)
+        img = np.clip(np.einsum("ij,...jhw->...ihw", t, img), 0, 1)
+    if aug.get("flip"):
+        img = img[..., ::-1]
+    return np.ascontiguousarray(img)
+
+
 def load_dataset(opt, split: str = "train", subset: int | None = None) -> SceneData:
     """Dispatch by opt.data.dataset name (mirrors the reference's module
     dispatch, base.py:27)."""

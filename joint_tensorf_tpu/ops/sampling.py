@@ -63,6 +63,265 @@ def sample_plane(plane, u, v):
     return f00 * w00 + f01 * w01 + f10 * w10 + f11 * w11
 
 
+def pack_plane(plane):
+    """[H, W, R] -> [H, W, 4R]: (self, x+1, y+1, x+1&y+1), edge-clamped.
+
+    Corner-packing the 2x2 bilinear neighborhood channel-wise turns the
+    four 64-wide corner gathers (and their four backward row-scatters)
+    into ONE 4x-wider row op.  On TPU the row-op count, not bytes, is
+    what gathers/scatters pay for (~23 ns/row measured on v5e,
+    scripts/packed_gather_bench.py: plane VJP 177 ms -> 84 ms at 2M
+    samples).  Same trick as models/alpha_mask.pack_neighborhoods.
+    """
+    px = jnp.concatenate([plane[:, 1:], plane[:, -1:]], axis=1)
+    py = jnp.concatenate([plane[1:], plane[-1:]], axis=0)
+    pxy = jnp.concatenate([py[:, 1:], py[:, -1:]], axis=1)
+    return jnp.concatenate([plane, px, py, pxy], axis=-1)
+
+
+def sample_plane_packed(plane, u, v):
+    """sample_plane via one corner-packed row gather (bitwise identical)."""
+    H, W, R = plane.shape
+    packed = pack_plane(plane).reshape(H * W, 4 * R)
+    x = _pix(u, W)
+    y = _pix(v, H)
+    x0, fx = _floor_frac(x, W)
+    y0, fy = _floor_frac(y, H)
+    rows = jnp.take(packed, y0 * W + x0, axis=0)             # [N, 4R]
+    w00 = ((1 - fy) * (1 - fx))[:, None]
+    w01 = ((1 - fy) * fx)[:, None]
+    w10 = (fy * (1 - fx))[:, None]
+    w11 = (fy * fx)[:, None]
+    return (rows[:, :R] * w00 + rows[:, R:2 * R] * w01
+            + rows[:, 2 * R:3 * R] * w10 + rows[:, 3 * R:] * w11)
+
+
+def pack_line(line):
+    """[D, R] -> [D, 2R]: (self, next), edge-clamped (see pack_plane)."""
+    nxt = jnp.concatenate([line[1:], line[-1:]], axis=0)
+    return jnp.concatenate([line, nxt], axis=-1)
+
+
+def sample_line_packed(line, w):
+    """sample_line via one packed row gather (bitwise identical)."""
+    D, R = line.shape
+    packed = pack_line(line)
+    x = _pix(w, D)
+    i0, fx = _floor_frac(x, D)
+    rows = jnp.take(packed, i0, axis=0)                      # [N, 2R]
+    return rows[:, :R] * (1.0 - fx)[:, None] + rows[:, R:] * fx[:, None]
+
+
+@jax.custom_vjp
+def sample_plane_hybrid(plane, u, v):
+    """4-corner gather forward + corner-packed single-scatter backward.
+
+    Forward reads only the 4 needed corners (1x bytes); the backward
+    transpose writes ONE [N, 4R] row-scatter into a packed grad buffer
+    and folds the shifts densely — instead of XLA's four row-scatters.
+    Row-op count is what TPU scatters pay for; measured ~2x on the plane
+    VJP (scripts/packed_gather_bench.py).
+    """
+    return sample_plane(plane, u, v)
+
+
+def _plane_hybrid_fwd(plane, u, v):
+    return sample_plane(plane, u, v), (plane, u, v)
+
+
+def _plane_hybrid_bwd(res, g):
+    plane, u, v = res
+    H, W, R = plane.shape
+    x = _pix(u, W)
+    y = _pix(v, H)
+    x0, fx = _floor_frac(x, W)
+    y0, fy = _floor_frac(y, H)
+    w00 = ((1 - fy) * (1 - fx))[:, None]
+    w01 = ((1 - fy) * fx)[:, None]
+    w10 = (fy * (1 - fx))[:, None]
+    w11 = (fy * fx)[:, None]
+    g4 = jnp.concatenate([g * w00, g * w01, g * w10, g * w11], axis=-1)
+    d_packed = jnp.zeros((H * W, 4 * R), g.dtype).at[y0 * W + x0].add(g4)
+    dp = d_packed.reshape(H, W, 4 * R)
+    # transpose of pack_plane's clamped shifts
+    d_plane = dp[..., :R]
+    dx = dp[..., R:2 * R]
+    d_plane = d_plane.at[:, 1:].add(dx[:, :-1]).at[:, -1].add(dx[:, -1])
+    dy = dp[..., 2 * R:3 * R]
+    d_plane = d_plane.at[1:].add(dy[:-1]).at[-1].add(dy[-1])
+    dxy = dp[..., 3 * R:]
+    dxy = jnp.pad(dxy[:, :-1], ((0, 0), (1, 0), (0, 0))).at[:, -1].add(
+        dxy[:, -1])
+    d_plane = d_plane.at[1:].add(dxy[:-1]).at[-1].add(dxy[-1])
+    # coordinate grads: vjp of the gather-only closure (plane held constant)
+    _, pull = jax.vjp(
+        lambda uu, vv: sample_plane(jax.lax.stop_gradient(plane), uu, vv),
+        u, v)
+    d_u, d_v = pull(g)
+    return d_plane, d_u, d_v
+
+
+sample_plane_hybrid.defvjp(_plane_hybrid_fwd, _plane_hybrid_bwd)
+
+
+@jax.custom_vjp
+def sample_line_hybrid(line, w):
+    """2-point gather forward + packed single-scatter backward."""
+    return sample_line(line, w)
+
+
+def _line_hybrid_fwd(line, w):
+    return sample_line(line, w), (line, w)
+
+
+def _line_hybrid_bwd(res, g):
+    line, w = res
+    D, R = line.shape
+    x = _pix(w, D)
+    i0, fx = _floor_frac(x, D)
+    g2 = jnp.concatenate([g * (1.0 - fx)[:, None], g * fx[:, None]], axis=-1)
+    d_packed = jnp.zeros((D, 2 * R), g.dtype).at[i0].add(g2)
+    d_line = d_packed[:, :R]
+    dn = d_packed[:, R:]
+    d_line = d_line.at[1:].add(dn[:-1]).at[-1].add(dn[-1])
+    _, pull = jax.vjp(
+        lambda ww: sample_line(jax.lax.stop_gradient(line), ww), w)
+    (d_w,) = pull(g)
+    return d_line, d_w
+
+
+sample_line_hybrid.defvjp(_line_hybrid_fwd, _line_hybrid_bwd)
+
+
+def _plane_fold(d_packed, H, W, R):
+    """Transpose of pack_plane's clamped shifts: [H*W, 4R] -> [H, W, R]."""
+    dp = d_packed.reshape(H, W, 4 * R)
+    d_plane = dp[..., :R]
+    dx = dp[..., R:2 * R]
+    d_plane = d_plane.at[:, 1:].add(dx[:, :-1]).at[:, -1].add(dx[:, -1])
+    dy = dp[..., 2 * R:3 * R]
+    d_plane = d_plane.at[1:].add(dy[:-1]).at[-1].add(dy[-1])
+    dxy = dp[..., 3 * R:]
+    dxy = jnp.pad(dxy[:, :-1], ((0, 0), (1, 0), (0, 0))).at[:, -1].add(
+        dxy[:, -1])
+    d_plane = d_plane.at[1:].add(dxy[:-1]).at[-1].add(dxy[-1])
+    return d_plane
+
+
+def _line_fold(d_packed, D, R):
+    """Transpose of pack_line's clamped shift: [D, 2R] -> [D, R]."""
+    d_line = d_packed[:, :R]
+    dn = d_packed[:, R:]
+    return d_line.at[1:].add(dn[:-1]).at[-1].add(dn[-1])
+
+
+@jax.custom_vjp
+def sample_planeline_prod(plane, line, u, v, w):
+    """Fused bilinear-plane x linear-line sample: returns p(u,v) * l(w).
+
+    The VM factor product (tensoRF.py:240-249) with a hand-written VJP
+    built for TPU row-op economics (scripts/packed_gather_bench.py,
+    docs/DESIGN_NOTES.md):
+
+      * forward: plain 4-corner + 2-point gathers (1x bytes);
+      * backward: ONE corner-packed row gather recovers all corner values
+        (for the coordinate/pose grads AND the p/l values the product
+        rule needs), then ONE [N,4R] row scatter for d_plane and one
+        [N,2R] for d_line, folded densely.
+
+    Residuals are just (plane, line, u, v, w) — no [N,R] intermediates —
+    so the renderer needs no rematerialization around feature gathers.
+    """
+    return sample_plane(plane, u, v) * sample_line(line, w)
+
+
+def _prod_fwd(plane, line, u, v, w):
+    out = sample_plane(plane, u, v) * sample_line(line, w)
+    return out, (plane, line, u, v, w)
+
+
+# backward transients ([chunk, 4R] packed updates) are bounded by chunking;
+# at 256k samples x 64ch the per-chunk update is 256 MB
+_PROD_BWD_CHUNK = 1 << 18
+
+
+def _prod_bwd(res, g):
+    plane, line, u, v, w = res
+    H, W, R = plane.shape
+    D = line.shape[0]
+    N = u.shape[0]
+    ck = max(1, min(_PROD_BWD_CHUNK, N))
+    n_chunks = -(-N // ck)
+    pad = n_chunks * ck - N
+    up = jnp.pad(u, (0, pad))
+    vp = jnp.pad(v, (0, pad))
+    wp = jnp.pad(w, (0, pad))
+    gpad = jnp.pad(g, ((0, pad), (0, 0)))     # zero rows: pad contributes 0
+    packed_plane = pack_plane(plane).reshape(H * W, 4 * R)
+    packed_line = pack_line(line)
+
+    def chunk_grads(uu, vv, ww, gg):
+        x_raw = (uu + 1.0) * 0.5 * (W - 1)
+        y_raw = (vv + 1.0) * 0.5 * (H - 1)
+        z_raw = (ww + 1.0) * 0.5 * (D - 1)
+        x0, fx = _floor_frac(jnp.clip(x_raw, 0.0, W - 1.0), W)
+        y0, fy = _floor_frac(jnp.clip(y_raw, 0.0, H - 1.0), H)
+        i0, fz = _floor_frac(jnp.clip(z_raw, 0.0, D - 1.0), D)
+        rows = jnp.take(packed_plane, y0 * W + x0, axis=0)    # [ck, 4R]
+        f00, f01, f10, f11 = (rows[:, :R], rows[:, R:2 * R],
+                              rows[:, 2 * R:3 * R], rows[:, 3 * R:])
+        lrows = jnp.take(packed_line, i0, axis=0)             # [ck, 2R]
+        l0, l1 = lrows[:, :R], lrows[:, R:]
+        w00 = ((1 - fy) * (1 - fx))[:, None]
+        w01 = ((1 - fy) * fx)[:, None]
+        w10 = (fy * (1 - fx))[:, None]
+        w11 = (fy * fx)[:, None]
+        p = f00 * w00 + f01 * w01 + f10 * w10 + f11 * w11
+        l = l0 * (1.0 - fz)[:, None] + l1 * fz[:, None]
+        gl = gg * l
+        gp = gg * p
+        g4 = jnp.concatenate([gl * w00, gl * w01, gl * w10, gl * w11], -1)
+        g2 = jnp.concatenate([gp * (1.0 - fz)[:, None], gp * fz[:, None]], -1)
+        dp_dx = (f01 - f00) * (1 - fy)[:, None] + (f11 - f10) * fy[:, None]
+        dp_dy = (f10 - f00) * (1 - fx)[:, None] + (f11 - f01) * fx[:, None]
+        mx = ((x_raw > 0) & (x_raw < W - 1)).astype(gg.dtype)
+        my = ((y_raw > 0) & (y_raw < H - 1)).astype(gg.dtype)
+        mz = ((z_raw > 0) & (z_raw < D - 1)).astype(gg.dtype)
+        d_u = jnp.sum(gl * dp_dx, -1) * (0.5 * (W - 1)) * mx
+        d_v = jnp.sum(gl * dp_dy, -1) * (0.5 * (H - 1)) * my
+        d_w = jnp.sum(gp * (l1 - l0), -1) * (0.5 * (D - 1)) * mz
+        return y0 * W + x0, g4, i0, g2, d_u, d_v, d_w
+
+    if n_chunks == 1:
+        idx, g4, i0, g2, d_u, d_v, d_w = chunk_grads(up, vp, wp, gpad)
+        d_pk = jnp.zeros((H * W, 4 * R), g.dtype).at[idx].add(g4)
+        d_lk = jnp.zeros((D, 2 * R), g.dtype).at[i0].add(g2)
+    else:
+        def body(i, carry):
+            d_pk, d_lk, d_u, d_v, d_w = carry
+            s = i * ck
+            uu = jax.lax.dynamic_slice(up, (s,), (ck,))
+            vv = jax.lax.dynamic_slice(vp, (s,), (ck,))
+            ww = jax.lax.dynamic_slice(wp, (s,), (ck,))
+            gg = jax.lax.dynamic_slice(gpad, (s, 0), (ck, R))
+            idx, g4, i0, g2, du, dv, dw = chunk_grads(uu, vv, ww, gg)
+            return (d_pk.at[idx].add(g4), d_lk.at[i0].add(g2),
+                    jax.lax.dynamic_update_slice(d_u, du, (s,)),
+                    jax.lax.dynamic_update_slice(d_v, dv, (s,)),
+                    jax.lax.dynamic_update_slice(d_w, dw, (s,)))
+
+        init = (jnp.zeros((H * W, 4 * R), g.dtype),
+                jnp.zeros((D, 2 * R), g.dtype),
+                jnp.zeros_like(up), jnp.zeros_like(vp), jnp.zeros_like(wp))
+        d_pk, d_lk, d_u, d_v, d_w = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    return (_plane_fold(d_pk, H, W, R), _line_fold(d_lk, D, R),
+            d_u[:N], d_v[:N], d_w[:N])
+
+
+sample_planeline_prod.defvjp(_prod_fwd, _prod_bwd)
+
+
 def sample_image(img, coords, mode: str = "bilinear"):
     """grid_sample(align_corners=False, padding=zeros) on an image.
 

@@ -49,10 +49,11 @@ class RenderConfig:
     # n_rays x n_samples resolution dominate peak HBM (jax.checkpoint trades
     # them for a recompute — SURVEY.md hardware notes)
     remat_shading: bool = True
-    # rematerialize the fused factor sampling: the saved per-corner gather
-    # outputs ([N*S, 64] x 6) are the other multi-GB residual; recomputing
-    # the gathers in the backward pass costs ~2x forward gather time
-    remat_features: bool = True
+    # rematerialize the fused factor sampling.  With the fused
+    # sample_planeline_prod custom VJP the gather residuals are just the
+    # coordinates (ops/sampling.py), so this now defaults OFF; it remains
+    # available for low-memory configurations.
+    remat_features: bool = False
     # use the fused Pallas compositor (ops/pallas_kernels.py).  Skips the
     # weight>thres appearance gate (contributions it would zero are bounded
     # by thres per sample, ~1e-6); validated vs the jnp path in tests.

@@ -119,9 +119,10 @@ class StepConfig:
             mlp_predict_density=self.mlp_predict_density,
             compact_k=self.compact_k,
             # compaction already bounds backward residuals; skip the
-            # recompute overhead there
+            # recompute overhead there.  Feature remat is obsolete with the
+            # fused-product custom VJP (tiny residuals) — keep it off.
             remat_shading=self.compact_k is None,
-            remat_features=self.compact_k is None,
+            remat_features=False,
         )
 
 

@@ -198,3 +198,72 @@ def test_sobel_edge_mask():
     mask = np.asarray(sobel.hard_edge_mask(jnp.asarray(img))).reshape(16, 16)
     assert mask[:, 7:9].all()           # edge columns are marked
     assert not mask[:, :6].any() and not mask[:, 10:].any()
+
+
+def test_packed_sampling_matches_naive():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from joint_tensorf_tpu.ops.sampling import (
+        sample_line, sample_line_packed, sample_plane, sample_plane_packed)
+
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    plane = jax.random.normal(k1, (37, 53, 16))
+    line = jax.random.normal(k2, (41, 16))
+    u = jax.random.uniform(k3, (500,), minval=-1.3, maxval=1.3)
+    v = jax.random.uniform(k4, (500,), minval=-1.3, maxval=1.3)
+    np.testing.assert_array_equal(np.asarray(sample_plane_packed(plane, u, v)),
+                                  np.asarray(sample_plane(plane, u, v)))
+    np.testing.assert_array_equal(np.asarray(sample_line_packed(line, u)),
+                                  np.asarray(sample_line(line, u)))
+
+    # gradients agree (field + coords)
+    g = jax.random.normal(key, (500, 16))
+
+    def loss(fn, p, uu, vv):
+        return jnp.sum(fn(p, uu, vv) * g)
+
+    for fn_pair in [(sample_plane, sample_plane_packed)]:
+        d_ref = jax.grad(lambda p, uu, vv: loss(fn_pair[0], p, uu, vv),
+                         argnums=(0, 1, 2))(plane, u, v)
+        d_new = jax.grad(lambda p, uu, vv: loss(fn_pair[1], p, uu, vv),
+                         argnums=(0, 1, 2))(plane, u, v)
+        for a, b in zip(d_new, d_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_planeline_prod_matches_naive():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from joint_tensorf_tpu.ops.sampling import (
+        sample_line, sample_plane, sample_planeline_prod)
+
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 6)
+    plane = jax.random.normal(ks[0], (29, 41, 12))
+    line = jax.random.normal(ks[1], (23, 12))
+    u = jax.random.uniform(ks[2], (700,), minval=-1.2, maxval=1.2)
+    v = jax.random.uniform(ks[3], (700,), minval=-1.2, maxval=1.2)
+    w = jax.random.uniform(ks[4], (700,), minval=-1.2, maxval=1.2)
+    g = jax.random.normal(ks[5], (700, 12))
+
+    def naive(p, l, uu, vv, ww):
+        return sample_plane(p, uu, vv) * sample_line(l, ww)
+
+    np.testing.assert_allclose(
+        np.asarray(sample_planeline_prod(plane, line, u, v, w)),
+        np.asarray(naive(plane, line, u, v, w)), rtol=1e-6, atol=1e-6)
+
+    def loss(fn, *a):
+        return jnp.sum(fn(*a) * g)
+
+    d_ref = jax.grad(lambda *a: loss(naive, *a),
+                     argnums=(0, 1, 2, 3, 4))(plane, line, u, v, w)
+    d_new = jax.grad(lambda *a: loss(sample_planeline_prod, *a),
+                     argnums=(0, 1, 2, 3, 4))(plane, line, u, v, w)
+    for a, b in zip(d_new, d_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
