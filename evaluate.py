@@ -158,6 +158,12 @@ def main(argv):
             f.write(json.dumps(r) + "\n")
     with open(os.path.join(out_dir, "quant_eval.json"), "w") as f:
         json.dump(results, f, indent=2)
+    # push final metrics to the wandb run summary like the reference
+    # (bat.py:252-253, nerf.py:564-566)
+    from joint_tensorf_tpu.utils.logging import MetricLogger
+    logger = MetricLogger(out_dir, opt)
+    logger.summary(results)
+    logger.close()
     print("[done]", json.dumps(results))
 
     # ---- novel-view synthesis video (nerf.py:575 / camera.py:380)

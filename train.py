@@ -82,7 +82,8 @@ def main(argv):
               f"(profiling mode does not continue training)")
         return
 
-    log_path = os.path.join(out_dir, "log.jsonl")
+    from joint_tensorf_tpu.utils.logging import MetricLogger
+    logger = MetricLogger(out_dir, opt)
     t0 = time.time()
 
     pose_optimizing = getattr(trainer, "is_bat", False) or \
@@ -93,8 +94,7 @@ def main(argv):
         if pose_optimizing and \
                 tr.it % max(1, int(opt.freq.get("scalar", 200)) * 4) == 0:
             line.update(tr.pose_error())
-        with open(log_path, "a") as f:
-            f.write(json.dumps(line) + "\n")
+        logger.log_scalars(line, tr.it)
         msg = f"it {tr.it:6d} | loss {m['loss']:.5f} | psnr {m['psnr']:.2f}"
         if hasattr(tr, "lr_index"):
             msg += f" | lr {tr.lr_index:.2e}"
@@ -109,10 +109,15 @@ def main(argv):
     if val_data is not None:
         val = trainer.validate(val_data, align=pose_optimizing)
         result["val_psnr"] = val["psnr"]
+        H, W = val_data.images.shape[-2:]
+        logger.log_image("val_rgb", val["rgb"][0].reshape(H, W, 3),
+                         trainer.it, split="val")
     if pose_optimizing:
         result.update(trainer.pose_error())
     with open(os.path.join(out_dir, "quant.json"), "w") as f:
         json.dump(result, f, indent=2)
+    logger.summary(result)
+    logger.close()
     print("[done]", json.dumps(result))
 
     if hasattr(trainer, "state"):
