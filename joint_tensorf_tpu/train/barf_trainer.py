@@ -11,6 +11,7 @@ Capability map: nerf.Model.train (nerf.py:150-278) + barf.Model
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from typing import Optional
 
@@ -238,6 +239,10 @@ class BarfTrainer:
             m = self.train_iteration()
             if self.it % log_every == 0:
                 mm = {k: float(v) for k, v in m.items()}
+                # NaN/Inf guard (reference base.py:183-184), at log points
+                if not math.isfinite(mm.get("loss", 0.0)):
+                    raise FloatingPointError(
+                        f"non-finite loss {mm['loss']} at it {self.it}")
                 mm.update(it=self.it, wall=time.time() - t0)
                 self.metrics_history.append(mm)
                 if callback:

@@ -10,6 +10,7 @@ the ground-truth alignment distance.
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from typing import Optional
 
@@ -244,6 +245,9 @@ class PlanarTrainer:
         while self.it < end:
             m = self.train_iteration()
             if self.it % log_every == 0:
+                if not math.isfinite(float(m.get("loss", 0.0))):
+                    raise FloatingPointError(
+                        f"non-finite loss {float(m['loss'])} at it {self.it}")
                 m.update(it=self.it, warp_error=self.warp_error(),
                          wall=time.time() - t0)
                 self.metrics_history.append(m)

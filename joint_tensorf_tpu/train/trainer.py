@@ -608,6 +608,12 @@ class Trainer:
             self._update_schedule()
             if self.it % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
+                # NaN/Inf guard (reference base.py:183-184, tensorf.py:43-44)
+                # checked at log points: per-iter host syncs would serialize
+                # the pipelined dispatch on TPU.
+                if not math.isfinite(m.get("loss", 0.0)):
+                    raise FloatingPointError(
+                        f"non-finite loss {m['loss']} at it {self.it}")
                 m.update(it=self.it, wall=time.time() - t0,
                          lr_index=self.lr_index, lr_pose=self._lr_pose())
                 self.metrics_history.append(m)

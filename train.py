@@ -89,12 +89,27 @@ def main(argv):
     pose_optimizing = getattr(trainer, "is_bat", False) or \
         getattr(trainer, "is_barf", False)
 
+    from joint_tensorf_tpu.train import checkpoint as ckpt_lib
+    freq_ckpt = int(opt.freq.get("ckpt", 0) or 0)
+
+    def save_ckpt(tr, snapshot_it=None):
+        path = os.path.join(out_dir, "model.ckpt.npz")
+        save = (ckpt_lib.save_checkpoint if hasattr(tr, "state")
+                else ckpt_lib.save_simple_checkpoint)
+        save(path, tr)
+        if snapshot_it is not None:  # per-iter snapshot (util.py:160-184)
+            import shutil
+            shutil.copyfile(path, os.path.join(
+                out_dir, f"model_it{snapshot_it}.ckpt.npz"))
+
     def on_log(tr, m):
         line = dict(m)
         if pose_optimizing and \
                 tr.it % max(1, int(opt.freq.get("scalar", 200)) * 4) == 0:
             line.update(tr.pose_error())
         logger.log_scalars(line, tr.it)
+        if freq_ckpt and tr.it > 0 and tr.it % freq_ckpt == 0:
+            save_ckpt(tr, snapshot_it=tr.it)
         msg = f"it {tr.it:6d} | loss {m['loss']:.5f} | psnr {m['psnr']:.2f}"
         if hasattr(tr, "lr_index"):
             msg += f" | lr {tr.lr_index:.2e}"
@@ -120,13 +135,7 @@ def main(argv):
     logger.close()
     print("[done]", json.dumps(result))
 
-    if hasattr(trainer, "state"):
-        from joint_tensorf_tpu.train.checkpoint import save_checkpoint
-        save_checkpoint(os.path.join(out_dir, "model.ckpt.npz"), trainer)
-    else:
-        from joint_tensorf_tpu.train.checkpoint import save_simple_checkpoint
-        save_simple_checkpoint(os.path.join(out_dir, "model.ckpt.npz"),
-                               trainer)
+    save_ckpt(trainer)
     print(f"[ckpt] saved to {out_dir}/model.ckpt.npz")
 
 
