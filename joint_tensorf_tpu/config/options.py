@@ -170,3 +170,24 @@ def set_options(yaml_path: str, argv: list[str] = (), allow_new_keys=()) -> Opti
     opt = load_options(yaml_path)
     cli = parse_arguments(list(argv))
     return override_options(opt, cli, allow_new_keys=allow_new_keys)
+
+
+def diff_options(old: dict, new: dict, prefix: str = "") -> list[str]:
+    """Dotted-key differences between two config dicts.
+
+    The reference interactively diffs a run's saved options.yaml against
+    the current invocation before overwriting it (options.py:130-152);
+    here the drift check is non-interactive: the caller prints the diff
+    and proceeds (autonomous TPU jobs cannot prompt)."""
+    lines = []
+    for k in sorted(set(old) | set(new)):
+        dotted = f"{prefix}.{k}" if prefix else str(k)
+        if k not in old:
+            lines.append(f"+ {dotted} = {new[k]!r}")
+        elif k not in new:
+            lines.append(f"- {dotted} (was {old[k]!r})")
+        elif isinstance(old[k], dict) and isinstance(new[k], dict):
+            lines.extend(diff_options(old[k], new[k], dotted))
+        elif old[k] != new[k]:
+            lines.append(f"~ {dotted}: {old[k]!r} -> {new[k]!r}")
+    return lines

@@ -34,7 +34,18 @@ def main(argv):
                            str(opt.get("group", "default")),
                            str(opt.get("name", "run")))
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "options.json"), "w") as f:
+    opts_file = os.path.join(out_dir, "options.json")
+    if os.path.exists(opts_file):  # config drift check (options.py:130-152)
+        from joint_tensorf_tpu.config.options import diff_options
+        with open(opts_file) as f:
+            saved = json.load(f)
+        drift = diff_options(saved, json.loads(
+            json.dumps(opt.to_dict(), default=str)))
+        if drift:
+            print(f"[options] config drift vs saved {opts_file}:")
+            for line in drift:
+                print(f"[options]   {line}")
+    with open(opts_file, "w") as f:
         json.dump(opt.to_dict(), f, indent=2, default=str)
 
     from joint_tensorf_tpu.data import load_dataset
