@@ -87,6 +87,51 @@ class BlobField:
         return sigma, rgb
 
 
+class SolidField:
+    """Analytic GT field: opaque textured solids (spheres + boxes).
+
+    Near-step sigmoid-shell density gives sharp silhouettes and occlusion
+    boundaries — the pose-identifiability regime the Blender scenes live
+    in.  The soft BlobField's semi-transparent Gaussians leave a few
+    degrees of joint pose/field ambiguity (the field can absorb a smooth
+    warp); solid occluders pin the poses (see docs/CONVERGENCE.md).
+    """
+
+    def __init__(self, n_shapes: int = 9, seed: int = 0, extent: float = 1.0,
+                 density_scale: float = 500.0, shell: float = 0.02,
+                 texture: bool = True):
+        rng = np.random.default_rng(seed)
+        self.centers = rng.uniform(-extent * 0.65, extent * 0.65,
+                                   (n_shapes, 3))
+        self.sizes = rng.uniform(0.12, 0.30, n_shapes) * extent
+        self.is_box = (np.arange(n_shapes) % 2 == 0).astype(np.float32)
+        self.colors = rng.uniform(0.15, 1.0, (n_shapes, 3))
+        self.density_scale = density_scale
+        self.shell = shell
+        self.texture = texture
+        self.tex_freqs = rng.uniform(4.0, 14.0, (3, 5, 3))
+        self.tex_phase = rng.uniform(0, 2 * np.pi, (3, 5))
+
+    def sigma_rgb(self, pts):
+        """pts: [..., 3] -> (sigma [...], rgb [..., 3])."""
+        import jax
+        import jax.numpy as jnp
+
+        delta = pts[..., None, :] - self.centers              # [..., K, 3]
+        d_sphere = jnp.linalg.norm(delta, axis=-1) - self.sizes
+        d_box = jnp.max(jnp.abs(delta), axis=-1) - self.sizes
+        d = self.is_box * d_box + (1 - self.is_box) * d_sphere
+        occ = jax.nn.sigmoid(-d / self.shell)                 # [..., K]
+        sigma = self.density_scale * jnp.sum(occ, axis=-1)
+        w = jax.nn.softmax(-d / 0.08, axis=-1)                # nearest shape
+        rgb = w @ self.colors
+        if self.texture:
+            arg = jnp.einsum("...d,cod->...co", pts, self.tex_freqs)
+            tex = jnp.mean(jnp.sin(arg + self.tex_phase), axis=-1)
+            rgb = jnp.clip(rgb * (1.0 + 0.5 * tex), 0.0, 1.0)
+        return sigma, rgb
+
+
 def render_analytic(field: BlobField, pose, intr_inv, H: int, W: int,
                     near: float, far: float, n_samples: int = 256,
                     white_bg: bool = True, chunk: int = 65536):
@@ -130,10 +175,17 @@ def render_analytic(field: BlobField, pose, intr_inv, H: int, W: int,
 def make_scene(n_views: int = 12, H: int = 64, W: int = 64,
                near: float = 2.0, far: float = 6.0, seed: int = 0,
                n_blobs: int = 5, n_samples: int = 256,
-               pose_seed: int | None = None) -> SceneData:
+               pose_seed: int | None = None,
+               kind: str = "blobs") -> SceneData:
     # the field is determined by ``seed`` alone so train/val splits of the
     # same scene share geometry; only the camera ring varies with pose_seed
-    field = BlobField(n_blobs=n_blobs, seed=seed)
+    if kind == "solids":
+        field = SolidField(seed=seed)
+        # the 0.02-unit sigmoid shells need finer quadrature than the
+        # smooth blobs: keep the GT sample spacing below the shell width
+        n_samples = max(n_samples, 512)
+    else:
+        field = BlobField(n_blobs=n_blobs, seed=seed)
     poses = sphere_poses(n_views, seed=seed if pose_seed is None else pose_seed)
     focal = 1.1 * W
     intr = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
@@ -159,8 +211,13 @@ def load(opt, split: str = "train", subset: int | None = None) -> SceneData:
     near, far = opt.nerf.depth.range
     seed = opt.data.get("seed", 0)
     pose_seed = seed + (0 if split == "train" else 1000)
+    # data.scene selects the analytic field; Blender scene names inherited
+    # from parent configs (e.g. "lego") map to the default soft blobs
+    kind = str(opt.data.get("scene", "blobs"))
+    if kind not in ("blobs", "solids"):
+        kind = "blobs"
     scene = make_scene(n_views=n, H=H, W=W, near=float(near), far=float(far),
-                       seed=seed, pose_seed=pose_seed)
+                       seed=seed, pose_seed=pose_seed, kind=kind)
     if subset:
         scene.images = scene.images[:subset]
         scene.poses = scene.poses[:subset]
