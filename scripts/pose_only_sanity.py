@@ -60,6 +60,12 @@ def main():
     ap.add_argument("--n-probe-views", type=int, default=10)
     ap.add_argument("--noise", type=float, default=0.15)
     ap.add_argument("--test-iter", type=int, default=600)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr-end", type=float, default=1e-5)
+    ap.add_argument("--blur", action="store_true",
+                    help="render with a c2f blur schedule (NOTE: targets "
+                         "stay sharp, so this mismatches the supervision — "
+                         "the paper blurs BOTH; off by default)")
     args = ap.parse_args()
 
     if not args.skip_train or not os.path.exists(f"{OUT}/model.ckpt.npz"):
@@ -89,12 +95,15 @@ def main():
 
     rcfg = RenderConfig(n_samples=tr.n_samples, is_train=True,
                         white_bg=True, stop_coord_grad=False)
+    blur = test_sched = None
+    if args.blur:
+        blur = BlurSpec(mode="uniform-gaussian",
+                        kernel_size=int(opt.get("c2f_kernel_size", 16)))
+        test_sched = [0.3, 0.15, 0.05, 0.0, 0.0]
     optimize = make_test_time_optimizer(
         tr.vm_cfg, rcfg, tr.head, H, W, n_rays=1024,
-        test_iter=args.test_iter, lr_init=1e-2, lr_end=1e-4,
-        blur=BlurSpec(mode="uniform-gaussian",
-                      kernel_size=int(opt.get("c2f_kernel_size", 16))),
-        test_kernel_schedule=[0.3, 0.15, 0.05, 0.0, 0.0])
+        test_iter=args.test_iter, lr_init=args.lr, lr_end=args.lr_end,
+        blur=blur, test_kernel_schedule=test_sched)
 
     near_far = jnp.asarray(tr._near_far(), jnp.float32)
     gt_poses = jnp.asarray(data.poses)
