@@ -71,7 +71,12 @@ def load(opt, split: str = "train", subset: int | None = None) -> SceneData:
 
     items = list(zip(fnames, poses_raw, bounds))
     num_val = int(len(items) * float(opt.data.get("val_ratio", 0.1)))
-    items = items[:-num_val] if split == "train" else items[-num_val:]
+    # (guards the reference's `[:-0]` edge, llff.py:29-31: with a tiny
+    # dataset num_val can round to 0, which would empty the train split)
+    if split == "train":
+        items = items[:-num_val] if num_val else items
+    else:
+        items = items[-num_val:] if num_val else items[-1:]
     if subset:
         items = items[:subset]
 

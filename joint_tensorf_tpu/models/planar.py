@@ -165,6 +165,19 @@ def fft_image_forward(params, coords, cur_rank=None, kernel=None,
     return jax.vmap(per_batch)(coords)
 
 
+def _safe_norm(r):
+    """L2 norm with a zero (not NaN) gradient at r=0.
+
+    torch.linalg.norm special-cases the subgradient at the origin to 0; jnp's
+    x/||x|| form yields NaN there — and the FFT image initializes its
+    coefficients to exactly zero (planar_fft.py:74-79), so the very first
+    Parseval gradient hits that point.
+    """
+    s = jnp.sum(jnp.real(r * jnp.conj(r)))
+    nonzero = s > 0
+    return jnp.sqrt(jnp.where(nonzero, s, 1.0)) * nonzero
+
+
 def fft_parseval_loss(params):
     """planar_fft.py:119-126."""
     r1, r2 = params["rank1"], params["rank2"]
@@ -174,7 +187,7 @@ def fft_parseval_loss(params):
     r1_u = jnp.arange(R1)[None, :, None] * r1
     r2_v = jnp.arange(W)[None, None, :] * r2
     r2_u = jnp.arange(R2)[None, :, None] * r2
-    return sum(jnp.linalg.norm(r.reshape(-1)) for r in [r1_v, r1_u, r2_v, r2_u])
+    return sum(_safe_norm(r) for r in [r1_v, r1_u, r2_v, r2_u])
 
 
 # --------------------------------------------------------------- MLP image

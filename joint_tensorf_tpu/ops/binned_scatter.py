@@ -30,6 +30,15 @@ jnp reference bit-for-bit while XLA never sees the plane scatter.
 
 The public entry `sample_plane_binned` is a drop-in for
 `ops.sampling.sample_plane` with a custom VJP.
+
+STATUS (measured v5e, 2026-08-17, scripts/binned_scatter_bench.py): correct
+(tests/test_binned_scatter.py) but 0.6-0.7x the throughput of XLA's native
+row scatter-add at production shapes — the argsort+pad preprocessing and
+one-hot construction outweigh the scatter savings once rows are already
+64-wide (see tpu gather facts in docs/DESIGN_NOTES.md).  It is therefore
+NOT wired into models/vm.py; kept as the reference implementation for a
+future revisit at larger R (where the [P,C]@[C,R] MXU pass amortizes
+better) and as documentation of the design space explored.
 """
 from __future__ import annotations
 

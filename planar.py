@@ -25,6 +25,20 @@ def main(argv):
     setup_jax()
     opt = set_options(yaml_path, rest)
 
+    # The PREF-style Fourier image stores complex64 factors; complex ifft is
+    # unimplemented on the TPU backend, and the planar pipeline is the CPU
+    # sanity loop anyway (SURVEY.md §4) — pin CPU unless the user explicitly
+    # chose cpu themselves (note the environment presets JAX_PLATFORMS to the
+    # TPU plugin, so "set at all" does not mean "user chose").
+    if opt.model == "planar_fft" and os.environ.get("JAX_PLATFORMS") != "cpu":
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            print("[planar] planar_fft uses complex FFTs (unimplemented on "
+                  "the TPU backend) — pinned jax to cpu")
+        except Exception:
+            pass
+
     out_dir = os.path.join(opt.get("output_root", "output"),
                            str(opt.get("group", "default")),
                            str(opt.get("name", "planar")))

@@ -1,0 +1,171 @@
+"""Data-loader tests against synthesized on-disk fixtures.
+
+Validates the parsing conventions SURVEY.md §2.5 pins down: Blender focal
+from camera_angle_x + diag(1,-1,-1) pose flip then inversion
+(reference data/blender.py:29, :86-91), RGBA-over-background compositing,
+LLFF poses_bounds.npy column swap / scale / centering (data/llff.py:43-97),
+and intrinsics rescaling to the target image size.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from joint_tensorf_tpu.config import set_options
+
+imageio = pytest.importorskip("imageio.v2")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rot_x(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], dtype=np.float32)
+
+
+# ---------------------------------------------------------------- blender
+@pytest.fixture(scope="module")
+def blender_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("blender")
+    scene = root / "lego"
+    scene.mkdir()
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(3):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = _rot_x(0.3 * i)
+        c2w[:3, 3] = [0.1 * i, 0.2, 1.0 + i]
+        img = rng.integers(0, 255, (8, 8, 4), dtype=np.uint8)
+        img[..., 3] = 255
+        img[0, 0] = [10, 20, 30, 0]          # fully transparent pixel
+        imageio.imwrite(str(scene / f"r_{i}.png"), img)
+        frames.append({"file_path": f"r_{i}",
+                       "transform_matrix": c2w.tolist()})
+    meta = {"camera_angle_x": 0.8, "frames": frames}
+    with open(scene / "transforms_train.json", "w") as f:
+        json.dump(meta, f)
+    return str(root)
+
+
+def _blender_opt(root, image_size):
+    return set_options(os.path.join(REPO, "configs", "tensorf_blender_VM.yaml"),
+                       [f"--data.root={root}", "--data.scene=lego",
+                        f"--data.image_size={list(image_size)}"])
+
+
+def test_blender_loader_conventions(blender_root):
+    from joint_tensorf_tpu.data import blender
+
+    opt = _blender_opt(blender_root, (8, 8))
+    d = blender.load(opt, "train")
+    assert d.images.shape == (3, 3, 8, 8)
+    assert d.poses.shape == (3, 3, 4)
+
+    # focal from camera_angle_x at raw 800 (blender.py:29)
+    f_expect = 0.5 * 800 / np.tan(0.4)
+    # intrinsics rescaled 800 -> 8: focal and principal point / 100
+    assert np.allclose(d.intr[0, 0, 0], f_expect / 100, rtol=1e-5)
+    assert np.allclose(d.intr[0, 0, 2], 4.0, rtol=1e-5)
+
+    # pose: world->cam in the flipped world; the camera center in the
+    # flipped world (diag(1,-1,-1) @ t_raw) must map to the origin
+    c2w_t = np.array([0.1, 0.2, 2.0])  # frame 1
+    flip = np.diag([1.0, -1.0, -1.0])
+    R, t = d.poses[1, :, :3], d.poses[1, :, 3]
+    assert np.allclose(R @ (flip @ c2w_t) + t, 0, atol=1e-5)
+    # R is orthonormal
+    assert np.allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+    # transparent pixel composited over white bg (blender.py:71-76)
+    assert np.allclose(d.images[0, :, 0, 0], 1.0, atol=1e-5)
+
+    assert d.near_far[0] < d.near_far[1]
+
+
+def test_blender_loader_resize(blender_root):
+    from joint_tensorf_tpu.data import blender
+
+    opt = _blender_opt(blender_root, (4, 4))
+    d = blender.load(opt, "train")
+    assert d.images.shape == (3, 3, 4, 4)
+    assert np.allclose(d.intr[0, 0, 2], 2.0, rtol=1e-5)   # cx scales with W
+    assert np.isfinite(d.images).all()
+
+
+# ------------------------------------------------------------------- llff
+@pytest.fixture(scope="module")
+def llff_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("llff")
+    scene = root / "fern"
+    (scene / "images").mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    N, raw_h, raw_w, focal = 5, 12, 16, 20.0
+    rows = []
+    for i in range(N):
+        c2w = np.eye(3, 4, dtype=np.float32)
+        c2w[:3, :3] = _rot_x(0.05 * i)
+        c2w[:3, 3] = [0.02 * i, 0.0, 0.1 * i]
+        # stored layout: [R|t] with hwf appended as the 5th column,
+        # and the INVERSE column swap of llff.py:51 (x<-y, y<--x ==>
+        # stored: col0 = -y_new? we store so the loader's swap recovers c2w)
+        stored = c2w.copy()
+        c0, c1 = stored[:, 0].copy(), stored[:, 1].copy()
+        stored[:, 0], stored[:, 1] = -c1, c0   # loader does x<-y, y<--x
+        hwf = np.array([raw_h, raw_w, focal], dtype=np.float32)[:, None]
+        row = np.concatenate([np.concatenate([stored, hwf], axis=1).reshape(-1),
+                              np.array([2.0, 6.0], dtype=np.float32)])
+        rows.append(row)
+        img = rng.integers(0, 255, (raw_h, raw_w, 3), dtype=np.uint8)
+        imageio.imwrite(str(scene / "images" / f"im_{i}.png"), img)
+    np.save(str(scene / "poses_bounds.npy"), np.stack(rows))
+    return str(root)
+
+
+def _llff_opt(root, val_ratio=0.2):
+    return set_options(os.path.join(REPO, "configs", "tensorf_llff_VM.yaml"),
+                       [f"--data.root={root}", "--data.scene=fern",
+                        "--data.image_size=[6,8]",
+                        f"--data.val_ratio={val_ratio}"])
+
+
+def test_llff_loader_split_and_shapes(llff_root):
+    from joint_tensorf_tpu.data import llff
+
+    train = llff.load(_llff_opt(llff_root), "train")
+    val = llff.load(_llff_opt(llff_root), "val")
+    assert train.images.shape == (4, 3, 6, 8)
+    assert val.images.shape == (1, 3, 6, 8)
+    assert np.isfinite(train.poses).all()
+    # R orthonormal after the centering + flip-invert-flip chain
+    R = train.poses[:, :, :3]
+    assert np.allclose(R @ np.swapaxes(R, 1, 2),
+                       np.broadcast_to(np.eye(3), R.shape), atol=1e-4)
+
+
+def test_llff_tiny_val_ratio_keeps_train_nonempty(llff_root):
+    from joint_tensorf_tpu.data import llff
+
+    # 5 * 0.1 rounds to 0 validation frames; train must keep all frames
+    # (guard over the reference's `[:-0]` edge, llff.py:29-31)
+    train = llff.load(_llff_opt(llff_root, val_ratio=0.1), "train")
+    val = llff.load(_llff_opt(llff_root, val_ratio=0.1), "val")
+    assert train.n_views == 5
+    assert val.n_views == 1
+
+
+def test_llff_scale_and_centering(llff_root):
+    from joint_tensorf_tpu.data import llff, base  # noqa: F401
+
+    opt = _llff_opt(llff_root)
+    d = llff.load(opt, "train")
+    # intrinsics: focal 20 at raw W=16 -> W=8 halves it
+    assert np.allclose(d.intr[0, 0, 0], 10.0, rtol=1e-5)
+    assert np.allclose(d.intr[0, 1, 2], 3.0, rtol=1e-5)  # cy = raw_h/2 scaled
+    # camera centers are finite and within a sane scaled range
+    R, t = d.poses[:, :, :3], d.poses[:, :, 3]
+    centers = -np.einsum("nij,ni->nj", R, t)
+    assert np.isfinite(centers).all()
+    # bounds scaled by 1/(min*0.75): scaled min bound = 1/0.75
+    # (the scale folds into the translations; centers stay O(1))
+    assert np.abs(centers).max() < 10.0
