@@ -9,14 +9,60 @@ arrays directly from the stored shapes — no replay of reset() is needed
 because our state is data, not modules.
 
 Format: a single .npz (arrays) + embedded JSON metadata string.
+
+Writes can be asynchronous (``async_write=True``): the device->host
+transfer happens inline (cheap; the arrays must be snapshotted before the
+next optimizer step mutates them), while compression + disk IO run on a
+single background writer thread so periodic snapshots never stall the train
+loop — the TPU-native analogue of the reference's synchronous per-iter
+snapshot copies (util.py:160-184).  Writes are atomic (tmp + rename) and
+ordered (one writer thread); call ``wait_for_pending()`` before reading a
+checkpoint back or exiting.
 """
 from __future__ import annotations
 
+import concurrent.futures as _futures
 import json
+import os
+import shutil
+import threading
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_writer: _futures.ThreadPoolExecutor | None = None
+_pending: list[_futures.Future] = []
+_writer_lock = threading.Lock()
+
+
+def _submit_write(path: str, payload: dict, snapshot_path: str | None):
+    global _writer
+    with _writer_lock:
+        if _writer is None:
+            _writer = _futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-writer")
+        _pending.append(_writer.submit(_write_npz, path, payload,
+                                       snapshot_path))
+        _pending[:] = [f for f in _pending if not f.done()]
+
+
+def _write_npz(path: str, payload: dict, snapshot_path: str | None = None):
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **payload)
+    os.replace(tmp, path)
+    if snapshot_path is not None:
+        shutil.copyfile(path, snapshot_path)
+
+
+def wait_for_pending():
+    """Block until all queued async checkpoint writes hit disk (re-raises
+    the first writer exception, if any)."""
+    with _writer_lock:
+        pending = list(_pending)
+        _pending.clear()
+    for f in pending:
+        f.result()
 
 
 def _flatten_with_paths(tree):
@@ -28,7 +74,8 @@ def _flatten_with_paths(tree):
     return out, treedef
 
 
-def save_checkpoint(path: str, trainer) -> None:
+def save_checkpoint(path: str, trainer, async_write: bool = False,
+                    snapshot_path: str | None = None) -> None:
     arrays, _ = _flatten_with_paths(trainer.state)
     meta = {
         "it": trainer.it,
@@ -55,10 +102,14 @@ def save_checkpoint(path: str, trainer) -> None:
         payload["alpha_mask/aabb"] = np.asarray(trainer.alpha_mask.aabb)
     payload["meta_json"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **payload)
+    if async_write:
+        _submit_write(path, payload, snapshot_path)
+    else:
+        _write_npz(path, payload, snapshot_path)
 
 
-def save_simple_checkpoint(path: str, trainer) -> None:
+def save_simple_checkpoint(path: str, trainer, async_write: bool = False,
+                           snapshot_path: str | None = None) -> None:
     """Checkpoint for trainers without phase machinery (barf/nerf/planar):
     params + optimizer moments + iteration."""
     arrays, _ = _flatten_with_paths({"params": trainer.params,
@@ -71,10 +122,14 @@ def save_simple_checkpoint(path: str, trainer) -> None:
             "rng_state": trainer.rng_np.bit_generator.state}
     payload["meta_json"] = np.frombuffer(json.dumps(meta).encode(),
                                          dtype=np.uint8)
-    np.savez_compressed(path, **payload)
+    if async_write:
+        _submit_write(path, payload, snapshot_path)
+    else:
+        _write_npz(path, payload, snapshot_path)
 
 
 def restore_simple_checkpoint(path: str, trainer) -> None:
+    wait_for_pending()
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["meta_json"]).decode())
     arrays = {k[len("state/"):]: data[k] for k in data.files
@@ -104,6 +159,7 @@ def restore_simple_checkpoint(path: str, trainer) -> None:
 def restore_checkpoint(path: str, trainer) -> None:
     """Restore a trainer in place (shapes are rebuilt from the stored
     arrays; optimizer moments restore exactly)."""
+    wait_for_pending()
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["meta_json"]).decode())
 

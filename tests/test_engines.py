@@ -91,3 +91,32 @@ def test_vm_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(a, b)
     # training continues from the restored state without error
     tr2.run(max_iter=14, log_every=1)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async writes (background writer thread) produce byte-equivalent
+    checkpoints, are ordered, and drain via wait_for_pending."""
+    from joint_tensorf_tpu.train.barf_trainer import BarfTrainer
+    from joint_tensorf_tpu.train.checkpoint import (restore_simple_checkpoint,
+                                                    save_simple_checkpoint,
+                                                    wait_for_pending)
+
+    opt = barf_opt()
+    scene = load_dataset(opt, "train")
+    tr = BarfTrainer(opt, scene)
+    tr.run(max_iter=3, log_every=1)
+
+    path = str(tmp_path / "ckpt.npz")
+    snap = str(tmp_path / "ckpt_it3.npz")
+    save_simple_checkpoint(path, tr, async_write=True, snapshot_path=snap)
+    # queue a second write to the same path: ordering must hold
+    save_simple_checkpoint(path, tr, async_write=True)
+    wait_for_pending()
+    assert os.path.exists(path) and os.path.exists(snap)
+    assert not os.path.exists(path + ".tmp.npz")   # atomic rename cleaned up
+
+    tr2 = BarfTrainer(opt, scene)
+    restore_simple_checkpoint(path, tr2)
+    assert tr2.it == tr.it
+    np.testing.assert_array_equal(np.asarray(tr2.params.se3_refine),
+                                  np.asarray(tr.params.se3_refine))

@@ -107,11 +107,17 @@ def main(argv):
         path = os.path.join(out_dir, "model.ckpt.npz")
         save = (ckpt_lib.save_checkpoint if hasattr(tr, "state")
                 else ckpt_lib.save_simple_checkpoint)
-        save(path, tr)
-        if snapshot_it is not None:  # per-iter snapshot (util.py:160-184)
-            import shutil
-            shutil.copyfile(path, os.path.join(
-                out_dir, f"model_it{snapshot_it}.ckpt.npz"))
+        # per-iter snapshots (util.py:160-184) write asynchronously so the
+        # train loop never stalls on compression/disk; the final save is
+        # synchronous (and drains the writer queue via wait_for_pending)
+        snap = (os.path.join(out_dir, f"model_it{snapshot_it}.ckpt.npz")
+                if snapshot_it is not None else None)
+        if snapshot_it is None:
+            # drain queued async snapshots first so the final synchronous
+            # write cannot be overwritten by an older in-flight one
+            ckpt_lib.wait_for_pending()
+        save(path, tr, async_write=snapshot_it is not None,
+             snapshot_path=snap)
 
     def on_log(tr, m):
         line = dict(m)
