@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Multi-chip scaling-efficiency benchmark (SURVEY.md §7 M5).
+
+Times the sharded BAT train step (rays data-parallel x VM-component
+tensor-parallel) across mesh sizes and reports rays/s plus scaling
+efficiency relative to the single-device run:
+
+    python scripts/scaling_bench.py                 # 8 virtual CPU devices
+    python scripts/scaling_bench.py --real          # real TPU devices
+    python scripts/scaling_bench.py --sizes 1,2,4,8 --n-rays 4096
+
+On virtual CPU devices the numbers demonstrate the harness and the
+collective structure, not hardware throughput; on a real pod slice the same
+script measures ICI scaling (the north-star gate is >=0.8 efficiency at 16
+chips, BASELINE.json).  Per-iteration host sync is forced — the tunneled
+TPU backend's block_until_ready under-reports wall time otherwise.
+
+Prints one JSON line per mesh size:
+  {"metric": "rays_per_sec_train", "devices": N, "mesh": [R, C],
+   "value": ..., "efficiency": ...}
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_one(n_devices: int, n_rays: int, n_samples: int, res: int,
+            iters: int, warmup: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from joint_tensorf_tpu.models import vm as vm_lib
+    from joint_tensorf_tpu.parallel.mesh import make_mesh
+    from joint_tensorf_tpu.parallel.sharding import shard_train_step
+    from joint_tensorf_tpu.render.renderer import BlurSpec
+    from joint_tensorf_tpu.train.step import (StepConfig, StepScalars,
+                                              init_train_state,
+                                              make_train_step)
+    from joint_tensorf_tpu.data.synthetic import sphere_poses
+
+    devices = jax.devices()[:n_devices]
+    assert len(devices) == n_devices, (
+        f"need {n_devices} devices, have {len(jax.devices())}")
+    if n_devices % 2 == 0 and n_devices > 1:
+        shape, axes = (n_devices // 2, 2), ("rays", "comp")
+    else:
+        shape, axes = (n_devices, 1), ("rays", "comp")
+    mesh = make_mesh(shape=shape, axes=axes, devices=devices)
+
+    n_views, H, W = 16, 64, 64
+    vm_cfg = vm_lib.VMConfig(density_n_comp=(16, 16, 16),
+                             app_n_comp=(48, 48, 48), app_dim=27,
+                             shading_mode="MLP_Fea", hidden=64)
+    head = vm_cfg.shading_head()
+    state = init_train_state(jax.random.PRNGKey(0), vm_cfg,
+                             (res, res, res), [-1.5] * 3 + [1.5] * 3, n_views)
+    cfg = StepConfig(H=H, W=W, n_views=n_views,
+                     rays_per_view=n_rays // n_views, n_samples=n_samples,
+                     pose_opt=True, use_pose_noise=True,
+                     blur=BlurSpec(mode="uniform-gaussian", kernel_size=64))
+    raw_step = make_train_step(cfg, vm_cfg, head, jit=False)
+    step = shard_train_step(raw_step, mesh, state, shard_components=True)
+
+    rng = np.random.default_rng(0)
+    pose_base = jnp.asarray(sphere_poses(n_views))
+    focal = 1.2 * W
+    intr = jnp.asarray(np.broadcast_to(
+        np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 dtype=np.float32), (n_views, 3, 3)))
+    intr_inv = jnp.linalg.inv(intr)
+    images = jnp.asarray(rng.random((n_views, H * W, 3)), jnp.float32)
+    edges = jnp.zeros((n_views, H * W), jnp.float32)
+    view_sel = jnp.arange(n_views)
+    ray_idx = jnp.asarray(
+        rng.permutation(H * W)[:cfg.rays_per_view].astype(np.int64))
+
+    s = StepScalars(
+        lr_index=jnp.float32(1e-2), lr_basis=jnp.float32(5e-4),
+        lr_pose=jnp.float32(1e-3), c2f_density=jnp.float32(0.15),
+        c2f_color=jnp.float32(0.15), near_far=jnp.array([2.0, 6.0]),
+        l1_weight=jnp.float32(8e-5), tv_density_weight=jnp.float32(0.0),
+        tv_color_weight=jnp.float32(0.0), use_edge=jnp.float32(0.0),
+        edge_factor=jnp.float32(1.5), non_edge_factor=jnp.float32(0.5),
+        view_pe_progress=jnp.float32(1.0), fea_pe_progress=jnp.float32(1.0),
+        pose_do_step=jnp.float32(1.0), tv_depth_weight=jnp.float32(0.0))
+
+    key = jax.random.PRNGKey(1)
+    with mesh:
+        for _ in range(warmup):
+            state, metrics = step(state, pose_base, intr, intr_inv, images,
+                                  edges, view_sel, ray_idx, key, s, None)
+            float(metrics["loss"])  # force host sync
+        t0 = time.time()
+        for _ in range(iters):
+            state, metrics = step(state, pose_base, intr, intr_inv, images,
+                                  edges, view_sel, ray_idx, key, s, None)
+            float(metrics["loss"])
+        dt = (time.time() - t0) / iters
+
+    total_rays = cfg.rays_per_view * n_views
+    return {"metric": "rays_per_sec_train", "devices": n_devices,
+            "mesh": list(shape), "step_ms": dt * 1e3,
+            "value": total_rays / dt, "unit": "rays/s"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1,2,4,8")
+    ap.add_argument("--n-rays", type=int, default=2048)
+    ap.add_argument("--n-samples", type=int, default=128)
+    ap.add_argument("--res", type=int, default=96)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--real", action="store_true",
+                    help="use real accelerator devices (default: virtual "
+                         "CPU devices sized to the largest mesh)")
+    args = ap.parse_args()
+    sizes = [int(x) for x in args.sizes.split(",")]
+
+    from joint_tensorf_tpu.utils import setup_jax
+    setup_jax()
+    if not args.real:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", max(sizes))
+
+    base = None
+    for n in sizes:
+        r = run_one(n, args.n_rays, args.n_samples, args.res,
+                    args.iters, args.warmup)
+        if base is None:
+            base = r["value"]
+        r["efficiency"] = (r["value"] / (base * r["devices"] / sizes[0]))
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()
