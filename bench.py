@@ -26,9 +26,42 @@ import numpy as np
 BASELINE_RAYS_PER_SEC = 12000.0
 
 
+def _probe_backend(timeout_s: float = 120.0) -> bool:
+    """True if the accelerator answers a trivial op within timeout.
+
+    The axon TPU tunnel can die mid-session (its relay's stdio peer is
+    external); when it does, device ops hang or raise UNAVAILABLE.  Probe in
+    a daemon thread so a hung backend can't wedge the whole benchmark."""
+    import threading
+
+    ok = [False]
+
+    def _try():
+        try:
+            import jax.numpy as jnp
+            ok[0] = float(jnp.ones((8, 8)).sum()) == 64.0
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_try, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok[0]
+
+
 def main():
     from joint_tensorf_tpu.utils import setup_jax
     setup_jax()
+
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "rays_per_sec_train", "value": 0, "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "note": "accelerator backend unavailable (tunnel down?) — "
+                    "probe op did not complete; see BENCH_NOTES.md for the "
+                    "last measured numbers"}))
+        import os
+        os._exit(0)
 
     import jax
     import jax.numpy as jnp
