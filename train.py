@@ -136,24 +136,32 @@ def main(argv):
 
     trainer.run(log_every=int(opt.freq.get("scalar", 200)), callback=on_log)
 
+    # checkpoint BEFORE final validation: a backend failure during the
+    # validation render (e.g. a dropped TPU tunnel) must not lose the
+    # trained model
+    save_ckpt(trainer)
+    print(f"[ckpt] saved to {out_dir}/model.ckpt.npz")
+
     # final evaluation
     result = {"wall_s": time.time() - t0, "iters": trainer.it}
-    if val_data is not None:
-        val = trainer.validate(val_data, align=pose_optimizing)
-        result["val_psnr"] = val["psnr"]
-        H, W = val_data.images.shape[-2:]
-        logger.log_image("val_rgb", val["rgb"][0].reshape(H, W, 3),
-                         trainer.it, split="val")
-    if pose_optimizing:
-        result.update(trainer.pose_error())
+    try:
+        if val_data is not None:
+            val = trainer.validate(val_data, align=pose_optimizing)
+            result["val_psnr"] = val["psnr"]
+            H, W = val_data.images.shape[-2:]
+            logger.log_image("val_rgb", val["rgb"][0].reshape(H, W, 3),
+                             trainer.it, split="val")
+        if pose_optimizing:
+            result.update(trainer.pose_error())
+    except Exception as e:  # noqa: BLE001 — checkpoint is already on disk
+        result["val_error"] = f"{type(e).__name__}: {e}"
+        print(f"[warn] final validation failed ({type(e).__name__}); "
+              f"checkpoint was saved before validation", flush=True)
     with open(os.path.join(out_dir, "quant.json"), "w") as f:
         json.dump(result, f, indent=2)
     logger.summary(result)
     logger.close()
     print("[done]", json.dumps(result))
-
-    save_ckpt(trainer)
-    print(f"[ckpt] saved to {out_dir}/model.ckpt.npz")
 
 
 if __name__ == "__main__":
