@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--noblur",
                     default="output/synthetic/convergence_20k_noblur/log.jsonl")
     ap.add_argument("--out", default="docs/convergence_rot.png")
+    ap.add_argument("--title",
+                    default="Joint pose+field optimization: pose recovery "
+                            "from se(3) σ=0.15 noise (solids, 100 views)")
     args = ap.parse_args()
 
     fig, ax = plt.subplots(figsize=(7.2, 4.2), dpi=150)
@@ -72,9 +75,7 @@ def main():
     ax.set_xlabel("iteration", color=INK2, fontsize=10)
     ax.set_ylabel("mean rotation error (deg, sim3-aligned)", color=INK2,
                   fontsize=10)
-    ax.set_title("Joint pose+field optimization: pose recovery from "
-                 "se(3) σ=0.15 noise (solids, 100 views)",
-                 color=INK, fontsize=11, loc="left")
+    ax.set_title(args.title, color=INK, fontsize=11, loc="left")
     ax.grid(True, which="major", color=GRID, linewidth=0.8)
     ax.tick_params(colors=INK2, labelsize=9)
     for s in ("top", "right"):
