@@ -53,7 +53,11 @@ def load(opt, split: str = "train", subset: int | None = None) -> SceneData:
 
     items = list(zip(fnames, poses_raw))
     num_val = int(len(items) * float(opt.data.get("val_ratio", 0.1)))
-    items = items[:-num_val] if split == "train" else items[-num_val:]
+    # same `[:-0]` tiny-dataset guard as llff.py
+    if split == "train":
+        items = items[:-num_val] if num_val else items
+    else:
+        items = items[-num_val:] if num_val else items[-1:]
     if subset:
         items = items[:subset]
 

@@ -169,3 +169,64 @@ def test_llff_scale_and_centering(llff_root):
     # bounds scaled by 1/(min*0.75): scaled min bound = 1/0.75
     # (the scale folds into the translations; centers stay O(1))
     assert np.abs(centers).max() < 10.0
+
+
+# --------------------------------------------------------------------- t2
+@pytest.fixture(scope="module")
+def t2_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("t2")
+    scene = root / "Ballroom"
+    (scene / "images").mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    N = 5
+    lines = []
+    for i in range(N):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = _rot_x(0.04 * i)
+        c2w[:3, 3] = [0.01 * i, 0.0, 0.05 * i]
+        lines.append(f"{i} {i} 0")
+        for r in range(4):
+            lines.append(" ".join(str(float(x)) for x in c2w[r]))
+        img = rng.integers(0, 255, (10, 14, 3), dtype=np.uint8)
+        imageio.imwrite(str(scene / "images" / f"{i:06d}.png"), img)
+    (scene / "Ballroom_COLMAP_SfM.log").write_text("\n".join(lines) + "\n")
+    return str(root)
+
+
+def test_t2_loader(t2_root):
+    from joint_tensorf_tpu.data import t2
+
+    opt = set_options(os.path.join(REPO, "configs", "tensorf_llff_VM.yaml"),
+                      [f"--data.root={t2_root}", "--data.scene=Ballroom",
+                       "--data.image_size=[5,7]", "--data.val_ratio=0.2"])
+    train = t2.load(opt, "train")
+    val = t2.load(opt, "val")
+    assert train.images.shape == (4, 3, 5, 7)
+    assert val.images.shape == (1, 3, 5, 7)
+    # poses orthonormal after 180-flip + centering + flip-invert-flip
+    R = train.poses[:, :, :3]
+    assert np.allclose(R @ np.swapaxes(R, 1, 2),
+                       np.broadcast_to(np.eye(3), R.shape), atol=1e-4)
+    assert np.isfinite(train.poses).all()
+
+
+# ----------------------------------------------------------------- iphone
+def test_iphone_loader(tmp_path):
+    from joint_tensorf_tpu.data import iphone
+
+    scene = tmp_path / "seq1"
+    scene.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        imageio.imwrite(str(scene / f"f{i}.jpg"),
+                        rng.integers(0, 255, (10, 14, 3), dtype=np.uint8))
+    opt = set_options(os.path.join(REPO, "configs", "tensorf_llff_VM.yaml"),
+                      [f"--data.root={tmp_path}", "--data.scene=seq1",
+                       "--data.image_size=[5,7]"])
+    d = iphone.load(opt, "train")
+    assert d.images.shape == (3, 3, 5, 7)
+    # identity dummy poses (unknown; pose optimization recovers them)
+    assert np.allclose(d.poses, np.broadcast_to(np.eye(3, 4), (3, 3, 4)))
+    # iPhone sensor-model focal, scaled raw_w=14 -> W=7
+    assert np.allclose(d.intr[0, 0, 0], (14 * 4.2 / (12.8 / 2.55)) / 2,
+                       rtol=1e-5)
