@@ -80,4 +80,6 @@ def main(argv):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    from joint_tensorf_tpu.utils import run_cli
+
+    run_cli(main, sys.argv[1:])
