@@ -87,8 +87,14 @@ def main():
     rays_per_view = max(1, n_rays_total // n_views)
     n_rays = rays_per_view * n_views
 
+    # per-phase hot-path config matches train/trainer.py _ensure_step:
+    # dense/early phases use the dense-grid density expansion + two-stage
+    # appearance; the compacted phase drops densify (its O(XYZ) grid build
+    # outweighs the savings at K=256 samples — scripts/densify_bench.py)
+    app_k = 64
     cfg = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
-                     n_samples=n_samples, pose_opt=True, use_pose_noise=True)
+                     n_samples=n_samples, pose_opt=True, use_pose_noise=True,
+                     densify_density=True, app_k=app_k)
     step = make_train_step(cfg, vm_cfg, head)
 
     # early-phase variant: the voxel schedule spends iterations 0-9000 at
@@ -96,7 +102,8 @@ def main():
     state_e = init_train_state(jax.random.PRNGKey(0), vm_cfg, (128, 128, 128),
                                aabb, n_views)
     cfg_e = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
-                       n_samples=443, pose_opt=True, use_pose_noise=True)
+                       n_samples=443, pose_opt=True, use_pose_noise=True,
+                       densify_density=True, app_k=app_k)
     step_e = make_train_step(cfg_e, vm_cfg, head)
 
     # late-phase variant: alpha-mask culling + sample compaction, the regime
@@ -107,7 +114,8 @@ def main():
 
     compact_k = 256
     cfg_c = dataclasses.replace(cfg, use_alpha_mask=True,
-                                compact_k=compact_k)
+                                compact_k=compact_k,
+                                densify_density=False, app_k=app_k)
     step_c = make_train_step(cfg_c, vm_cfg, head)
 
     rng = np.random.default_rng(0)

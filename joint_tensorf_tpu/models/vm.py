@@ -342,6 +342,65 @@ def can_fuse_features(cfg: VMConfig) -> bool:
             and not cfg.convolve_positive_only)
 
 
+def can_densify(cfg: VMConfig) -> bool:
+    """Whether density can be evaluated via the dense-grid expansion.
+
+    Every per-component transform (activation variants, blur) happens on
+    the factor grids BEFORE interpolation, so it commutes with the dense
+    expansion; only convolve_positive_only mixes blurred/sharp factors
+    per *sample* (bateRF.py:83-89) and needs the factored path.
+    """
+    return not cfg.convolve_positive_only
+
+
+def compute_density_grid(state: VMState, cfg: VMConfig, blur_mats=None):
+    """Dense density-feature grid G [X, Y, Z]: the full rank expansion.
+
+    Exactly equivalent to compute_density_feature at every point when
+    sampled trilinearly (ops/densify.py — trilinear weights factorize),
+    but evaluated with MXU einsums instead of per-sample gathers.
+    Cost: O(XYZ * R) FLOPs + O(XYZ) HBM writes per call, independent of
+    the number of samples.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    if cfg.decomposition == "CP":
+        G = None
+        lines = []
+        for i in range(3):
+            line = state.density_lines[i]
+            if cfg.component_wise_feature2density:
+                line = feature2density(cfg, line)
+            if blur_mats is not None:
+                line = blur_ops.blur_line(line, blur_mats[line.shape[0]])
+            lines.append(line)
+        # lines[i] is along axis VEC_MODE[i] = (z, y, x)
+        G = jnp.einsum("xr,yr,zr->xyz", lines[2], lines[1], lines[0],
+                       precision=hi)
+        return G
+
+    spec = ("yxr,zr->xyz", "zxr,yr->xyz", "zyr,xr->xyz")
+    G = None
+    for i in range(3):
+        plane = state.density_planes[i]
+        line = state.density_lines[i]
+        if cfg.component_wise_feature2density:
+            plane = feature2density(cfg, plane)
+            line = feature2density(cfg, line)
+        elif cfg.plane_feature2density:
+            plane = feature2density(cfg, plane)
+        elif cfg.abs_components:
+            plane = jnp.abs(plane)
+            line = jnp.abs(line)
+        if blur_mats is not None:
+            plane = blur_ops.blur_plane(plane, blur_mats[plane.shape[0]],
+                                        blur_mats[plane.shape[1]])
+            if not cfg.convolve_plane_only:
+                line = blur_ops.blur_line(line, blur_mats[line.shape[0]])
+        term = jnp.einsum(spec[i], plane, line, precision=hi)
+        G = term if G is None else G + term
+    return G
+
+
 # ------------------------------------------------------------- regularizers
 def density_L1(state: VMState):
     """Mean-abs sparsity on density factors (tensoRF.py:212-216 — planes and

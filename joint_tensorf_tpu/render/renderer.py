@@ -68,6 +68,16 @@ class RenderConfig:
     # as <= K samples per ray survive the mask — choose K from the mask's
     # occupancy when building the phase.
     compact_k: int | None = None
+    # evaluate density via the dense-grid expansion (ops/densify.py):
+    # mathematically exact, one packed row op per sample instead of ~6
+    # factored gathers/scatters, at an O(XYZ) per-step grid-build cost.
+    densify_density: bool = False
+    # two-stage appearance: compute appearance/shading only on the top-app_k
+    # samples per ray by compositing weight (the TPU analogue of the
+    # reference's dynamic weight>thres gather, tensorBase.py:773-783).
+    # Exact when <= app_k samples per ray pass the weight threshold;
+    # None = dense appearance over all samples.
+    app_k: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -278,7 +288,24 @@ def render_rays(
     mlp_pts = jax.lax.stop_gradient(pts) if rcfg.detach_xyz else pts
 
     fused_app_feat = None
-    if rcfg.mlp_predict_density:
+    use_densify = (rcfg.densify_density and vm_lib.can_densify(cfg)
+                   and not rcfg.mlp_predict_density)
+    use_fused = (not use_densify and rcfg.app_k is None
+                 and vm_lib.can_fuse_features(cfg)
+                 and not rcfg.mlp_predict_density)
+    if use_densify:
+        # density via the dense rank expansion: MXU einsum build + ONE
+        # packed row gather per sample (ops/densify.py — exact)
+        from ..ops import densify as densify_ops
+
+        G = vm_lib.compute_density_grid(state, cfg, blur_mats=d_mats)
+        G8 = densify_ops.pack_corners(G)
+        dcoords = (jax.lax.stop_gradient(coords) if rcfg.stop_coord_grad
+                   else coords)
+        sigma_feature = densify_ops.sample_packed_grid(G8, dcoords)
+        sigma_feature = sigma_feature.reshape(n, S)
+        rgb_all = None
+    elif rcfg.mlp_predict_density:
         # density comes from the shading head (batBase.py:106-109)
         app_feat = vm_lib.compute_app_feature(
             state, cfg, coords, blur_mats=c_mats,
@@ -287,7 +314,7 @@ def render_rays(
             state.shading, mlp_pts.reshape(-1, 3), mlp_viewdirs.reshape(-1, 3),
             app_feat, view_pe_progress, fea_pe_progress)
         sigma_feature = sigma_feature.reshape(n, S)
-    elif vm_lib.can_fuse_features(cfg):
+    elif use_fused:
         # one fused 64-wide gather serves both density and appearance
         def fused(st, c, dm, cm):
             return vm_lib.compute_fused_features(
@@ -325,6 +352,67 @@ def render_rays(
     weight = alpha * T_excl
 
     # ---------------------------------------------------------- appearance
+    if rcfg.app_k is not None and not rcfg.mlp_predict_density:
+        # Two-stage appearance: shade only the top-app_k samples per ray by
+        # compositing weight.  The reference gathers appearance where
+        # weight > thres (tensorBase.py:773-783) — dynamic-shape on GPU;
+        # here the gate is capped at a static K2 (exact when <= K2 samples
+        # pass the threshold; dropped tail samples would contribute
+        # < thres-weighted colors).  Row-op cost of the factored appearance
+        # gathers scales by K2/S.
+        K2 = min(rcfg.app_k, S)
+        gate = (weight > cfg.raymarch_weight_thres) & valid
+        score = jax.lax.stop_gradient(jnp.where(gate, weight, 0.0))
+        _, topi2 = jax.lax.top_k(score, K2)                    # [n, K2]
+        topi2 = jnp.sort(topi2, axis=-1)
+        w_sel = jnp.take_along_axis(weight, topi2, axis=1)     # diff gather
+        gate_sel = jnp.take_along_axis(
+            jax.lax.stop_gradient(gate.astype(weight.dtype)), topi2, axis=1)
+        if rcfg.ndc:
+            pts_sel = jnp.take_along_axis(pts, topi2[..., None], axis=1)
+        else:
+            z_sel = jnp.take_along_axis(jax.lax.stop_gradient(z_vals),
+                                        topi2, axis=1)
+            pts_sel = centers[:, None, :] + dirs[:, None, :] * z_sel[..., None]
+        coords_sel = vm_lib.normalize_coord(pts_sel.reshape(-1, 3), aabb)
+        app_feat = vm_lib.compute_app_feature(
+            state, cfg, coords_sel, blur_mats=c_mats,
+            stop_coord_grad=rcfg.stop_coord_grad)
+        vd_sel = jnp.broadcast_to(viewdirs[:, None, :], pts_sel.shape)
+        if rcfg.detach_viewdirs:
+            vd_sel = jax.lax.stop_gradient(vd_sel)
+        mlp_pts_sel = (jax.lax.stop_gradient(pts_sel) if rcfg.detach_xyz
+                       else pts_sel)
+
+        def shade(shading_params, p, v, f, vp, fp):
+            return head.apply(shading_params, p, v, f, vp, fp)
+
+        if rcfg.remat_shading:
+            shade = jax.checkpoint(shade)
+        rgb_sel = shade(state.shading, mlp_pts_sel.reshape(-1, 3),
+                        vd_sel.reshape(-1, 3), app_feat,
+                        view_pe_progress, fea_pe_progress).reshape(n, K2, 3)
+        rgb_sel = rgb_sel * gate_sel[..., None]
+
+        acc_map = jnp.sum(weight, axis=-1)
+        rgb_map = jnp.sum(w_sel[..., None] * rgb_sel, axis=-2)
+
+        if rcfg.white_bg:
+            rgb_map = rgb_map + (1.0 - acc_map[..., None])
+        elif rcfg.is_train:
+            coin = jax.random.uniform(rng_bg, ()) < 0.5
+            rgb_map = rgb_map + coin * (1.0 - acc_map[..., None])
+        rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
+
+        depth_map = jnp.sum(weight * z_vals, axis=-1)
+        depth_map = depth_map + (1.0 - acc_map) * dirs[..., -1]
+        if rcfg.ndc_simulate_euclid_depth:
+            depth_map = jnp.clip(depth_map, 0.0, 10.0)
+        else:
+            depth_map = depth_map - near_far[0] + 0.05
+        depth_map = jax.lax.stop_gradient(depth_map)
+        return rgb_map, depth_map, acc_map
+
     if rcfg.mlp_predict_density:
         app_gate = valid
         rgb = rgb_all.reshape(n, S, 3)

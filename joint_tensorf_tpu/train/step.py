@@ -105,6 +105,8 @@ class StepConfig:
     pose_b2: float = 0.999
     scene_b2: float = 0.99
     compact_k: Optional[int] = None             # alpha-mask sample compaction
+    densify_density: bool = False               # dense-grid density expansion
+    app_k: Optional[int] = None                 # two-stage appearance top-K2
 
     def render_config(self, is_train: bool) -> RenderConfig:
         return RenderConfig(
@@ -118,6 +120,8 @@ class StepConfig:
             use_alpha_mask=self.use_alpha_mask,
             mlp_predict_density=self.mlp_predict_density,
             compact_k=self.compact_k,
+            densify_density=self.densify_density,
+            app_k=self.app_k,
             # compaction already bounds backward residuals; skip the
             # recompute overhead there.  Feature remat is obsolete with the
             # fused-product custom VJP (tiny residuals) — keep it off.

@@ -383,6 +383,14 @@ class Trainer:
             # compaction relies on alpha-mask culling, which the reference
             # disables while blur is active (batBase.py:77)
             compact_k=None if blur_active else self.compact_k,
+            # dense-grid density pays an O(XYZ) per-step build: a clear win
+            # for dense/blurred phases, a loss once compaction shrinks the
+            # sample count (measured, scripts/densify_bench.py) — so gate it
+            # off when compaction is active.
+            densify_density=(bool(self.opt.tpu.get("densify_density", True))
+                             and (blur_active or self.compact_k is None)),
+            app_k=(int(self.opt.tpu.app_k)
+                   if self.opt.tpu.get("app_k") else None),
         )
         if cfg != self._step_cfg:
             self._step_cfg = cfg
@@ -636,7 +644,10 @@ class Trainer:
             H=self.H, W=self.W, n_views=self.n_views, rays_per_view=chunk,
             n_samples=self.n_samples, pose_opt=self.is_bat,
             ndc=bool(self.opt.camera.get("ndc", False)),
-            white_bg=bool(self.opt.nerf.get("setbg_opaque", True)))
+            white_bg=bool(self.opt.nerf.get("setbg_opaque", True)),
+            densify_density=bool(self.opt.tpu.get("densify_density", True)),
+            app_k=(int(self.opt.tpu.app_k)
+                   if self.opt.tpu.get("app_k") else None))
         cfg = dataclasses.replace(
             cfg, n_samples=self.n_samples,
             use_alpha_mask=self.alpha_mask is not None)
