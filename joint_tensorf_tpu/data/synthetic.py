@@ -49,6 +49,23 @@ def sphere_poses(n: int, radius: float = 4.0, elevation: float = 0.35,
     return np.stack(poses)
 
 
+def facing_poses(n: int, radius: float = 4.0, spread: float = 0.45,
+                 seed: int = 0):
+    """LLFF-style forward-facing capture: camera centers on a small disc at
+    distance ``radius`` in front of the scene, all looking at jittered
+    points near the origin (the geometry regime of the reference's LLFF
+    runs — NDC rays, shallow camera baseline)."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    for _ in range(n):
+        dx, dy = rng.uniform(-spread, spread, 2)
+        dz = rng.uniform(-0.25, 0.25)
+        p = np.array([dx, dy, -(radius + dz)], dtype=np.float32)
+        target = rng.uniform(-0.15, 0.15, 3).astype(np.float32)
+        poses.append(look_at_pose(p, target=target))
+    return np.stack(poses)
+
+
 class BlobField:
     """Analytic GT field: colored Gaussian blobs with 3D color texture.
 
@@ -179,14 +196,24 @@ def make_scene(n_views: int = 12, H: int = 64, W: int = 64,
                kind: str = "blobs") -> SceneData:
     # the field is determined by ``seed`` alone so train/val splits of the
     # same scene share geometry; only the camera ring varies with pose_seed
-    if kind == "solids":
+    gt_near, gt_far = near, far
+    if kind in ("solids", "facing"):
         field = SolidField(seed=seed)
         # the 0.02-unit sigmoid shells need finer quadrature than the
         # smooth blobs: keep the GT sample spacing below the shell width
         n_samples = max(n_samples, 512)
     else:
         field = BlobField(n_blobs=n_blobs, seed=seed)
-    poses = sphere_poses(n_views, seed=seed if pose_seed is None else pose_seed)
+    if kind == "facing":
+        # forward-facing capture for the NDC/LLFF protocol: the returned
+        # SceneData.near_far stays the caller's (NDC) depth range, while the
+        # analytic GT is rendered in metric space around the camera disc
+        poses = facing_poses(n_views,
+                             seed=seed if pose_seed is None else pose_seed)
+        gt_near, gt_far = 2.0, 6.2
+    else:
+        poses = sphere_poses(n_views,
+                             seed=seed if pose_seed is None else pose_seed)
     focal = 1.1 * W
     intr = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
                     dtype=np.float32)
@@ -194,7 +221,7 @@ def make_scene(n_views: int = 12, H: int = 64, W: int = 64,
     intr_inv = np.linalg.inv(intr).astype(np.float32)
 
     images = np.stack([
-        render_analytic(field, poses[i], intr_inv[i], H, W, near, far,
+        render_analytic(field, poses[i], intr_inv[i], H, W, gt_near, gt_far,
                         n_samples=n_samples).transpose(2, 0, 1)
         for i in range(n_views)
     ])
@@ -214,7 +241,7 @@ def load(opt, split: str = "train", subset: int | None = None) -> SceneData:
     # data.scene selects the analytic field; Blender scene names inherited
     # from parent configs (e.g. "lego") map to the default soft blobs
     kind = str(opt.data.get("scene", "blobs"))
-    if kind not in ("blobs", "solids"):
+    if kind not in ("blobs", "solids", "facing"):
         kind = "blobs"
     scene = make_scene(n_views=n, H=H, W=W, near=float(near), far=float(far),
                        seed=seed, pose_seed=pose_seed, kind=kind)
