@@ -56,6 +56,11 @@ class VMConfig:
     raymarch_weight_thres: float = 1e-6
     step_ratio: float = 0.5
     decomposition: str = "VM"           # "VM" or "CP"
+    # storage dtype of the factor grids ("float32" | "bfloat16") — the TPU
+    # analogue of the reference's optional fp16 tensors (tensorf.py:222-227).
+    # Compute stays float32 (gradient scatters and Adam accumulate in f32);
+    # bf16 halves factor-grid HBM footprint, useful at LLFF's 800^3 grids.
+    factor_dtype: str = "float32"
     # BAT blur-path variants (bateRF.py:52-89); all False on the main configs
     abs_components: bool = False
     component_wise_feature2density: bool = False
@@ -110,6 +115,7 @@ def init_vm(key, cfg: VMConfig, resolution: Sequence[int], aabb,
     res = list(resolution)
     keys = jax.random.split(key, 16)
     ki = iter(range(16))
+    fdt = jnp.dtype(cfg.factor_dtype)
 
     def one_svd(n_comp):
         planes, lines = [], []
@@ -117,13 +123,13 @@ def init_vm(key, cfg: VMConfig, resolution: Sequence[int], aabb,
             m0, m1 = MAT_MODE[i]
             if cfg.decomposition == "VM":
                 p = jax.random.normal(keys[next(ki)], (res[m1], res[m0], n_comp[i]))
-                planes.append(jnp.abs(init_bias + init_scale * p))
+                planes.append(jnp.abs(init_bias + init_scale * p).astype(fdt))
             l = jax.random.normal(keys[next(ki)], (res[VEC_MODE[i]], n_comp[i]))
             if cfg.decomposition == "VM":
-                lines.append(jnp.abs(init_bias + init_scale * l))
+                lines.append(jnp.abs(init_bias + init_scale * l).astype(fdt))
             else:
                 # CP initializes without abs/bias (tensoRF.py:349-355)
-                lines.append(init_scale * l)
+                lines.append((init_scale * l).astype(fdt))
         return planes, lines
 
     d_planes, d_lines = one_svd(cfg.density_n_comp)
@@ -374,8 +380,8 @@ def compute_density_grid(state: VMState, cfg: VMConfig, blur_mats=None):
                 line = blur_ops.blur_line(line, blur_mats[line.shape[0]])
             lines.append(line)
         # lines[i] is along axis VEC_MODE[i] = (z, y, x)
-        G = jnp.einsum("xr,yr,zr->xyz", lines[2], lines[1], lines[0],
-                       precision=hi)
+        G = jnp.einsum("xr,yr,zr->xyz", lines[2].astype(jnp.float32),
+                       lines[1], lines[0], precision=hi)
         return G
 
     spec = ("yxr,zr->xyz", "zxr,yr->xyz", "zyr,xr->xyz")
@@ -396,7 +402,8 @@ def compute_density_grid(state: VMState, cfg: VMConfig, blur_mats=None):
                                         blur_mats[plane.shape[1]])
             if not cfg.convolve_plane_only:
                 line = blur_ops.blur_line(line, blur_mats[line.shape[0]])
-        term = jnp.einsum(spec[i], plane, line, precision=hi)
+        term = jnp.einsum(spec[i], plane, line.astype(jnp.float32),
+                          precision=hi)
         G = term if G is None else G + term
     return G
 
@@ -446,12 +453,13 @@ def upsample(state: VMState, res_target: Sequence[int]) -> VMState:
         out = []
         for i, p in enumerate(planes):
             m0, m1 = MAT_MODE[i]
-            out.append(resample.resize_plane(p, res[m1], res[m0]))
+            out.append(resample.resize_plane(p, res[m1], res[m0])
+                       .astype(p.dtype))
         return out
 
     def up_lines(lines):
         return [resample.resize_line(l, res[VEC_MODE[i]])
-                for i, l in enumerate(lines)]
+                .astype(lines[i].dtype) for i, l in enumerate(lines)]
 
     return dataclasses.replace(
         state,

@@ -158,7 +158,7 @@ def _plane_hybrid_bwd(res, g):
         lambda uu, vv: sample_plane(jax.lax.stop_gradient(plane), uu, vv),
         u, v)
     d_u, d_v = pull(g)
-    return d_plane, d_u, d_v
+    return d_plane.astype(plane.dtype), d_u, d_v
 
 
 sample_plane_hybrid.defvjp(_plane_hybrid_fwd, _plane_hybrid_bwd)
@@ -187,7 +187,7 @@ def _line_hybrid_bwd(res, g):
     _, pull = jax.vjp(
         lambda ww: sample_line(jax.lax.stop_gradient(line), ww), w)
     (d_w,) = pull(g)
-    return d_line, d_w
+    return d_line.astype(line.dtype), d_w
 
 
 sample_line_hybrid.defvjp(_line_hybrid_fwd, _line_hybrid_bwd)
@@ -315,7 +315,8 @@ def _prod_bwd(res, g):
                 jnp.zeros_like(up), jnp.zeros_like(vp), jnp.zeros_like(wp))
         d_pk, d_lk, d_u, d_v, d_w = jax.lax.fori_loop(0, n_chunks, body, init)
 
-    return (_plane_fold(d_pk, H, W, R), _line_fold(d_lk, D, R),
+    return (_plane_fold(d_pk, H, W, R).astype(plane.dtype),
+            _line_fold(d_lk, D, R).astype(line.dtype),
             d_u[:N], d_v[:N], d_w[:N])
 
 

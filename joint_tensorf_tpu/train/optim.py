@@ -25,8 +25,13 @@ class AdamState:
 
 
 def adam_init(params) -> AdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    return AdamState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),
+    # moments live in float32 even for reduced-precision params (bf16
+    # factor storage, VMConfig.factor_dtype) — moment EMAs accumulate
+    # many small contributions and must not round them away
+    zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    return AdamState(mu=zeros,
+                     nu=jax.tree.map(lambda p: jnp.zeros(p.shape,
+                                                         jnp.float32), params),
                      count=jnp.zeros((), jnp.int32))
 
 
@@ -42,14 +47,22 @@ def adam_update(grads, state: AdamState, params, lr_tree,
     bc1 = 1.0 - b1**c
     bc2 = 1.0 - b2**c
 
-    mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
-    nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+    mu = jax.tree.map(
+        lambda m, g: b1 * m + (1 - b1) * g.astype(jnp.float32),
+        state.mu, grads)
+    nu = jax.tree.map(
+        lambda v, g: b2 * v + (1 - b2) * jnp.square(g.astype(jnp.float32)),
+        state.nu, grads)
 
     if not isinstance(lr_tree, (dict, list, tuple)) and not dataclasses.is_dataclass(lr_tree):
         lr_tree = jax.tree.map(lambda _: lr_tree, params)
 
+    # update math in float32; result cast back to the parameter's storage
+    # dtype (no-op for float32 params)
     new_params = jax.tree.map(
-        lambda p, m, v, lr: p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps),
+        lambda p, m, v, lr: (p.astype(jnp.float32)
+                             - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+                             ).astype(p.dtype),
         params, mu, nu, lr_tree,
     )
     return new_params, AdamState(mu=mu, nu=nu, count=count)

@@ -65,6 +65,7 @@ def build_vm_config(opt: Options) -> vm_lib.VMConfig:
         convolve_plane_only=bool(arch.get("convolve_plane_only", False)),
         convolve_positive_only=bool(arch.get("convolve_positive_only", False)),
         ignore_negative_split=bool(arch.get("ignore_negative_split", False)),
+        factor_dtype=str(opt.tpu.get("factor_dtype") or "float32"),
     )
 
 
