@@ -107,6 +107,7 @@ class StepConfig:
     compact_k: Optional[int] = None             # alpha-mask sample compaction
     densify_density: bool = False               # dense-grid density expansion
     app_k: Optional[int] = None                 # two-stage appearance top-K2
+    mask_stride: int = 2                        # alpha-probe stride (renderer)
 
     def render_config(self, is_train: bool) -> RenderConfig:
         return RenderConfig(
@@ -122,6 +123,7 @@ class StepConfig:
             compact_k=self.compact_k,
             densify_density=self.densify_density,
             app_k=self.app_k,
+            mask_stride=self.mask_stride,
             # compaction already bounds backward residuals; skip the
             # recompute overhead there.  Feature remat is obsolete with the
             # fused-product custom VJP (tiny residuals) — keep it off.

@@ -392,6 +392,7 @@ class Trainer:
                              and (blur_active or self.compact_k is None)),
             app_k=(int(self.opt.tpu.app_k)
                    if self.opt.tpu.get("app_k") else None),
+            mask_stride=int(self.opt.tpu.get("mask_stride", 2)),
         )
         if cfg != self._step_cfg:
             self._step_cfg = cfg
