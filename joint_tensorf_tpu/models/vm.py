@@ -234,16 +234,24 @@ def compute_density_feature(state: VMState, cfg: VMConfig, coords,
                                         blur_mats[plane.shape[1]])
             if not cfg.convolve_plane_only:
                 line = blur_ops.blur_line(line, blur_mats[line.shape[0]])
-        p = sample_plane(plane, coords[:, m0], coords[:, m1])   # [N,R]
-        l = sample_line(line, coords[:, VEC_MODE[i]])           # [N,R]
         if blur_mats is not None and cfg.convolve_positive_only:
+            # the sharp-fallback mixes blurred/sharp per sample — needs the
+            # separate p/l path (bateRF.py:83-89)
+            p = sample_plane(plane, coords[:, m0], coords[:, m1])   # [N,R]
+            l = sample_line(line, coords[:, VEC_MODE[i]])           # [N,R]
             pos = _stop(l) >= 0
             if cfg.ignore_negative_split:
                 p = p * pos
             else:
                 p_sharp = sample_plane(plane_sharp, coords[:, m0], coords[:, m1])
                 p = jnp.where(pos, p, p_sharp)
-        sigma = sigma + jnp.sum(p * l, axis=-1)
+            prod = p * l
+        else:
+            # fused product with hand-written VJP: one packed gather + one
+            # packed scatter per factor instead of XLA's ~6 default row ops
+            prod = sample_planeline_prod(plane, line, coords[:, m0],
+                                         coords[:, m1], coords[:, VEC_MODE[i]])
+        sigma = sigma + jnp.sum(prod, axis=-1)
     return sigma
 
 
@@ -266,9 +274,9 @@ def compute_app_feature(state: VMState, cfg: VMConfig, coords,
             plane = blur_ops.blur_plane(plane, blur_mats[plane.shape[0]],
                                         blur_mats[plane.shape[1]])
             line = blur_ops.blur_line(line, blur_mats[line.shape[0]])
-        p = sample_plane(plane, coords[:, m0], coords[:, m1])
-        l = sample_line(line, coords[:, VEC_MODE[i]])
-        feats.append(p * l)
+        feats.append(sample_planeline_prod(plane, line, coords[:, m0],
+                                           coords[:, m1],
+                                           coords[:, VEC_MODE[i]]))
     return jnp.concatenate(feats, axis=-1) @ state.basis       # [N, app_dim]
 
 
