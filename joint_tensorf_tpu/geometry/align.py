@@ -46,6 +46,31 @@ def procrustes_analysis(X0, X1) -> Sim3:
     return Sim3(t0=t0, t1=t1, s0=float(s0), s1=float(s1), R=R)
 
 
+def rigid_points_registration(x, y):
+    """Differentiable batched Kabsch: (R, t) with R @ x_i + t ~= y_i.
+
+    The TPU-native stand-in for ``roma.rigid_points_registration`` used by
+    the reference's L2G engine (l2g_bat.py:198) to re-fit one global SE(3)
+    per view from per-ray local warps.  x, y: [..., N, 3]; returns
+    (R [..., 3, 3] special-orthogonal, t [..., 3]).  Runs in jnp (SVD of a
+    3x3 — fine on device) and is differentiable, as the reference's
+    global-alignment MSE loss backprops through the registration.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    cx = x.mean(axis=-2, keepdims=True)
+    cy = y.mean(axis=-2, keepdims=True)
+    xc, yc = x - cx, y - cy
+    # covariance: sum_i (y_i - cy)(x_i - cx)^T
+    H = jnp.swapaxes(yc, -2, -1) @ xc                       # [..., 3, 3]
+    U, S, Vt = jnp.linalg.svd(H)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    R = (U * D[..., None, :]) @ Vt                          # det(R) = +1
+    t = cy[..., 0, :] - (R @ cx[..., 0, :, None])[..., 0]
+    return R, t
+
+
 def camera_centers(pose):
     """World-space camera centers of [N,3,4] world->cam poses."""
     center = jnp.zeros((pose.shape[0], 1, 3), dtype=pose.dtype)

@@ -82,7 +82,9 @@ class Trainer:
         self.rng_np = np.random.default_rng(int(opt.get("seed", 0)))
         self.key = jax.random.PRNGKey(int(opt.get("seed", 0)))
 
-        self.is_bat = opt.model == "bat"
+        # l2g_bat shares the full BAT schedule/pose machinery (l2g_bat.py
+        # subclasses bat.Model); its per-ray warp params replace se3_refine
+        self.is_bat = opt.model in ("bat", "l2g_bat")
         self.vm_cfg = build_vm_config(opt)
         self.head = self.vm_cfg.shading_head()
 
@@ -396,8 +398,17 @@ class Trainer:
         )
         if cfg != self._step_cfg:
             self._step_cfg = cfg
-            self._step_fn = make_train_step(cfg, self.vm_cfg, self.head)
+            self._step_fn = self._make_step(cfg)
         return self._step_fn
+
+    def _make_step(self, cfg: StepConfig):
+        """Step builder — overridden by L2GTrainer."""
+        return make_train_step(cfg, self.vm_cfg, self.head)
+
+    def _rebuild_opt_state(self, state):
+        """Fresh optimizer moments after a shape transition — overridden by
+        L2GTrainer (its state pytree has extra leaves)."""
+        return rebuild_opt_state(state)
 
     # ------------------------------------------------------------- main loop
     def train_iteration(self):
@@ -418,7 +429,7 @@ class Trainer:
         if ts.get("reset_pose_on_first_upsample") and self.upsample_iters \
                 and it == self.upsample_iters[0]:
             reset_iters.add(it)
-        if it in reset_iters:
+        if it in reset_iters and hasattr(self.state.params, "se3_refine"):
             self.state.params.se3_refine = jnp.zeros_like(
                 self.state.params.se3_refine)
 
@@ -509,7 +520,7 @@ class Trainer:
             self.state = dataclasses.replace(
                 self.state, params=dataclasses.replace(
                     self.state.params, field=new_field))
-            self.state = rebuild_opt_state(self.state)
+            self.state = self._rebuild_opt_state(self.state)
             self.n_samples = schedules.find_n_samples(
                 self.resolution, float(self.opt.nerf.step_ratio),
                 int(self.opt.nerf.sample_intvs))
@@ -552,7 +563,7 @@ class Trainer:
             self.state = dataclasses.replace(
                 self.state, params=dataclasses.replace(
                     self.state.params, field=new_field))
-            self.state = rebuild_opt_state(self.state)
+            self.state = self._rebuild_opt_state(self.state)
             self.n_samples = schedules.find_n_samples(
                 self.resolution, float(self.opt.nerf.step_ratio),
                 int(self.opt.nerf.sample_intvs))

@@ -51,6 +51,8 @@ def main(argv):
     from joint_tensorf_tpu.data import load_dataset
     if opt.model in ("barf", "nerf"):
         from joint_tensorf_tpu.train.barf_trainer import BarfTrainer as Trainer
+    elif opt.model == "l2g_bat":
+        from joint_tensorf_tpu.train.l2g_trainer import L2GTrainer as Trainer
     else:
         from joint_tensorf_tpu.train.trainer import Trainer
 
