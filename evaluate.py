@@ -48,7 +48,10 @@ def main(argv):
     from joint_tensorf_tpu.metrics import psnr, ssim, lpips_fn
     from joint_tensorf_tpu.pose import make_test_time_optimizer
     from joint_tensorf_tpu.train.checkpoint import restore_checkpoint
-    from joint_tensorf_tpu.train.trainer import Trainer
+    if opt.model == "l2g_bat":
+        from joint_tensorf_tpu.train.l2g_trainer import L2GTrainer as Trainer
+    else:
+        from joint_tensorf_tpu.train.trainer import Trainer
 
     train_data = load_dataset(opt, "train", subset=opt.data.get("train_sub"))
     try:
