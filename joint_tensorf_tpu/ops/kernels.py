@@ -53,3 +53,17 @@ def batch_gaussian_kernel(sigmas, kernel_size: int):
     ns = jnp.arange(-(kernel_size // 2), kernel_size // 2 + 1, dtype=jnp.float32)[None, :]
     kernel = 1.0 / (sig * math.sqrt(2 * math.pi)) * jnp.exp(-0.5 * (ns / sig) ** 2)
     return jnp.clip(kernel, max=1.0)
+
+
+def discrete_gaussian_kernel(t, kernel_size: int):
+    """Exact discrete Gaussian T(n, t) = exp(-t) I_n(t) (kernels.py:6-14).
+
+    I_n is the modified Bessel function of integer order; host-side numpy
+    (like the reference's @no_grad numpy implementation — unused in the
+    main training path, provided for parity).  Impulse at t=0.
+    """
+    import numpy as np
+    from scipy import special
+
+    ns = np.arange(-(kernel_size // 2), kernel_size // 2 + 1)
+    return jnp.asarray(math.exp(-t) * special.iv(ns, t), dtype=jnp.float32)

@@ -267,3 +267,17 @@ def test_planeline_prod_matches_naive():
     for a, b in zip(d_new, d_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_discrete_gaussian_kernel():
+    """Exact discrete Gaussian exp(-t)*I_n(t) (reference kernels.py:6-14):
+    impulse at t=0, unit mass, symmetric."""
+    import numpy as np
+
+    from joint_tensorf_tpu.ops.kernels import discrete_gaussian_kernel
+
+    k0 = np.asarray(discrete_gaussian_kernel(0.0, 9))
+    np.testing.assert_allclose(k0, np.eye(9)[4], atol=1e-7)
+    k = np.asarray(discrete_gaussian_kernel(2.0, 65))
+    np.testing.assert_allclose(k.sum(), 1.0, atol=1e-6)
+    np.testing.assert_allclose(k, k[::-1], atol=1e-7)
