@@ -47,24 +47,37 @@ def main(argv):
     from joint_tensorf_tpu.geometry import align as align_lib
     from joint_tensorf_tpu.metrics import psnr, ssim, lpips_fn
     from joint_tensorf_tpu.pose import make_test_time_optimizer
-    from joint_tensorf_tpu.train.checkpoint import restore_checkpoint
-    if opt.model == "l2g_bat":
+    from joint_tensorf_tpu.train.checkpoint import (
+        restore_checkpoint, restore_simple_checkpoint)
+    is_mlp_nerf = opt.model in ("barf", "nerf")
+    if is_mlp_nerf:
+        from joint_tensorf_tpu.train.barf_trainer import BarfTrainer as Trainer
+        restore_fn = restore_simple_checkpoint
+    elif opt.model == "l2g_bat":
         from joint_tensorf_tpu.train.l2g_trainer import L2GTrainer as Trainer
+        restore_fn = restore_checkpoint
     else:
         from joint_tensorf_tpu.train.trainer import Trainer
+        restore_fn = restore_checkpoint
 
     train_data = load_dataset(opt, "train", subset=opt.data.get("train_sub"))
     try:
         test_data = load_dataset(opt, "test", subset=opt.data.get("test_sub"))
-    except Exception:
+    except FileNotFoundError:
+        # test split absent on disk -> fall back to val (LLFF-style datasets
+        # name the held-out frames "val"); other loader errors propagate
         test_data = load_dataset(opt, "val", subset=opt.data.get("val_sub"))
 
     trainer = Trainer(opt, train_data)
-    restore_checkpoint(ckpt_path, trainer)
-    print(f"[ckpt] restored it={trainer.it} res={trainer.resolution}")
+    restore_fn(ckpt_path, trainer)
+    print(f"[ckpt] restored it={trainer.it}"
+          + (f" res={trainer.resolution}" if hasattr(trainer, "resolution")
+             else ""))
 
+    pose_optimizing = (getattr(trainer, "is_bat", False)
+                       or getattr(trainer, "is_barf", False))
     results = {"iters": trainer.it}
-    if trainer.is_bat:
+    if pose_optimizing:
         err = trainer.pose_error()
         results.update(err)
         print("--------------------------")
@@ -91,8 +104,33 @@ def main(argv):
     else:
         test_pose = jnp.asarray(test_data.poses)
 
-    # ---- test-time photometric pose optimization (bat only)
-    if trainer.is_bat and opt.optim.get("test_photo", False):
+    # ---- test-time photometric pose optimization (barf.py:162 / bat.py:265)
+    if is_mlp_nerf and getattr(trainer, "is_barf", False) and \
+            opt.optim.get("test_photo", False):
+        from joint_tensorf_tpu.pose.test_optim import (
+            make_barf_test_time_optimizer)
+        optimize = make_barf_test_time_optimizer(
+            trainer.mlp_cfg, opt, test_data.H, test_data.W,
+            n_rays=int(opt.nerf.n_rays),
+            test_iter=int(opt.optim.test_iter),
+            lr=float(opt.optim.lr_pose),
+            ndc=bool(opt.camera.get("ndc", False)))
+        key = jax.random.PRNGKey(int(opt.get("seed", 0)) + 7)
+        images_flat = jnp.asarray(
+            test_data.images.reshape(test_data.n_views, 3, -1)
+            .transpose(0, 2, 1))
+        refined = []
+        for i in range(test_data.n_views):
+            key, k = jax.random.split(key)
+            p, loss = optimize(trainer.params, test_pose[i], images_flat[i],
+                               jnp.asarray(test_data.intr[i]),
+                               jnp.asarray(test_data.intr_inv[i]),
+                               trainer.near_far, k)
+            refined.append(p)
+            print(f"[test-optim] view {i}: final loss {loss:.5f}")
+        test_pose = jnp.stack(refined)
+    elif (not is_mlp_nerf) and trainer.is_bat and \
+            opt.optim.get("test_photo", False):
         from joint_tensorf_tpu.render.renderer import RenderConfig
         rcfg = RenderConfig(
             n_samples=trainer.n_samples, is_train=True,
@@ -154,6 +192,9 @@ def main(argv):
     results["ssim"] = float(np.mean([r["ssim"] for r in per_view]))
     if lp is not None:
         results["lpips"] = float(np.mean([r["lpips"] for r in per_view]))
+    else:
+        results["lpips_note"] = ("unavailable: lpips/torch import failed "
+                                 "(see stderr)")
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "quant.txt"), "w") as f:
@@ -186,6 +227,21 @@ def main(argv):
         vid_path = write_video(os.path.join(out_dir, "novel_views.mp4"),
                                frames, fps=15)
         print(f"[video] wrote {vid_path}")
+
+    # ---- pose-trajectory video over per-iter snapshots (barf.py:198-245)
+    if pose_optimizing and opt.get("generate_pose_video", True):
+        from joint_tensorf_tpu.viz.pose_video import generate_pose_video
+        try:
+            vid = generate_pose_video(out_dir, trainer, restore_fn)
+        except Exception as e:
+            vid = None
+            print(f"[video] pose video failed: {e}")
+        if vid:
+            print(f"[video] wrote {vid}")
+            restore_fn(ckpt_path, trainer)  # back to the final state
+        else:
+            print("[video] no per-iter snapshots; pose video skipped "
+                  "(set freq.ckpt to record them)")
 
     # ---- save renders
     vis_dir = os.path.join(out_dir, "test_renders")

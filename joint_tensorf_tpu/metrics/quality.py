@@ -75,5 +75,10 @@ def lpips_fn():
                 return float(net(p.float(), t.float()))
 
         return compute
-    except Exception:
+    except Exception as e:
+        # loud, not silent: quant files will carry no lpips rows and the
+        # summary must say why (VERDICT round-1 "weak" #6)
+        import sys
+        print(f"[metrics] LPIPS UNAVAILABLE ({type(e).__name__}: {e}) — "
+              "lpips will be omitted from quant outputs", file=sys.stderr)
         return None

@@ -61,9 +61,16 @@ def discrete_gaussian_kernel(t, kernel_size: int):
     I_n is the modified Bessel function of integer order; host-side numpy
     (like the reference's @no_grad numpy implementation — unused in the
     main training path, provided for parity).  Impulse at t=0.
+
+    Like the reference (kernels.py:11) this requires an odd kernel_size —
+    an even one would silently return kernel_size+1 taps.  Uses the
+    exponentially-scaled Bessel ive(n, t) = exp(-|t|) iv(n, t) so large t
+    does not overflow to inf*0 = nan.
     """
+    assert kernel_size > 0 and kernel_size % 2 == 1, \
+        f"discrete_gaussian_kernel needs odd kernel_size, got {kernel_size}"
     import numpy as np
     from scipy import special
 
     ns = np.arange(-(kernel_size // 2), kernel_size // 2 + 1)
-    return jnp.asarray(math.exp(-t) * special.iv(ns, t), dtype=jnp.float32)
+    return jnp.asarray(special.ive(ns, t), dtype=jnp.float32)

@@ -51,7 +51,7 @@ class L2GConfig:
     skip_warp: tuple = ()
     error_map_size: int = 0           # 0 = plain random sampling
     global_alignment_weight: float = 1.0
-    error_map_ema: float = 0.9        # l2g_bat.py:186 (0.1 new + 0.9 old -> ema on error)
+    error_map_ema: float = 0.9        # NEW-sample weight: map = 0.1*old + 0.9*new (l2g_bat.py:186)
 
 
 @jax.tree_util.register_dataclass

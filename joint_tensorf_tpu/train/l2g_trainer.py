@@ -65,3 +65,15 @@ class L2GTrainer(Trainer):
         """(pose, pose_GT) from the registered per-view table
         (l2g_bat.py:63-68)."""
         return self.state.optimised_poses, self.gt_poses
+
+    def _near_far(self):
+        """Rescale the blender depth range by the current optimised-camera
+        diameter (l2g_bat.py:133-139 recomputes depth_range from the
+        registered poses every forward).  Non-blender datasets keep the
+        base near/far (plus any near-plane schedule)."""
+        if self.opt.data.dataset in ("blender", "synthetic") and \
+                getattr(self, "state", None) is not None:
+            from .l2g import l2g_depth_range
+            return list(l2g_depth_range(self.state.optimised_poses,
+                                        self.near_far))
+        return super()._near_far()

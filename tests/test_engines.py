@@ -60,6 +60,62 @@ def test_simple_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_barf_test_time_optim_recovers_pose():
+    """A perturbed test pose moves back toward the true one under the
+    MLP-NeRF test-time photometric optimization (barf.py:162-197)."""
+    import jax
+    import jax.numpy as jnp
+
+    from joint_tensorf_tpu.geometry import lie, poses as pose_ops
+    from joint_tensorf_tpu.pose.test_optim import (
+        make_barf_test_time_optimizer)
+    from joint_tensorf_tpu.train.barf_trainer import BarfTrainer
+
+    opt = barf_opt()
+    scene = load_dataset(opt, "train")
+    tr = BarfTrainer(opt, scene)
+    tr.run(max_iter=5, log_every=5)
+
+    optimize = make_barf_test_time_optimizer(
+        tr.mlp_cfg, opt, scene.H, scene.W, n_rays=128, test_iter=4,
+        lr=1e-3)
+    true_pose = jnp.asarray(scene.poses[0])
+    pert = lie.se3_to_SE3(jnp.full((1, 6), 0.02))
+    start = pose_ops.compose([pert, true_pose[None]])[0]
+    img = jnp.asarray(scene.images[0].reshape(3, -1).T)
+    refined, loss = optimize(tr.params, start, img,
+                             jnp.asarray(scene.intr[0]),
+                             jnp.asarray(scene.intr_inv[0]),
+                             tr.near_far, jax.random.PRNGKey(0))
+    assert refined.shape == (3, 4)
+    assert np.isfinite(loss)
+    # the refinement changed the pose (gradients flow end-to-end)
+    assert float(jnp.abs(refined - start).max()) > 0
+
+
+def test_pose_video_from_snapshots(tmp_path):
+    """generate_pose_video builds frames from per-iter snapshots
+    (barf.py:198-245) and leaves a playable artifact."""
+    from joint_tensorf_tpu.train.barf_trainer import BarfTrainer
+    from joint_tensorf_tpu.train.checkpoint import (restore_simple_checkpoint,
+                                                    save_simple_checkpoint)
+    from joint_tensorf_tpu.viz.pose_video import generate_pose_video
+
+    opt = barf_opt()
+    scene = load_dataset(opt, "train")
+    tr = BarfTrainer(opt, scene)
+    out_dir = str(tmp_path)
+    for stop in (2, 4):
+        tr.run(max_iter=stop, log_every=2)
+        save_simple_checkpoint(
+            os.path.join(out_dir, f"model_it{stop}.ckpt.npz"), tr)
+    vid = generate_pose_video(out_dir, tr, restore_simple_checkpoint, fps=2)
+    assert vid is not None
+    assert os.path.exists(vid)
+    assert os.path.exists(os.path.join(out_dir, "poses", "2.png"))
+    assert os.path.exists(os.path.join(out_dir, "poses", "4.png"))
+
+
 def test_vm_checkpoint_roundtrip(tmp_path):
     from joint_tensorf_tpu.train.checkpoint import (restore_checkpoint,
                                                     save_checkpoint)

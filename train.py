@@ -62,7 +62,9 @@ def main(argv):
     val_split = "test" if opt.data.get("val_on_test") else "val"
     try:
         val_data = load_dataset(opt, val_split, subset=opt.data.get("val_sub"))
-    except Exception as e:  # val split optional (synthetic/debug runs)
+    except FileNotFoundError as e:
+        # val split genuinely absent on disk (synthetic/debug runs); any
+        # other loader error is a real bug and must propagate
         print(f"[data] no val split ({e}); validating on train views")
         val_data = train_data
 
