@@ -170,6 +170,14 @@ def main(argv):
         test_pose = jnp.stack(refined)
 
     # ---- full renders + metrics
+    if hasattr(trainer, "eval_clip_stats"):
+        clip = trainer.eval_clip_stats(test_pose,
+                                       jnp.asarray(test_data.intr_inv))
+        results["clip_stats"] = clip
+        if clip["compact_clip_rate"] > 0 or clip["app_k_clip_rate"] > 0:
+            print(f"[eval] WARNING static-cap clipping: {clip}")
+        else:
+            print(f"[eval] compaction caps exact on probe rays: {clip}")
     rgb, depth, opacity = trainer.render_views(
         test_pose, jnp.asarray(test_data.intr),
         jnp.asarray(test_data.intr_inv))

@@ -569,14 +569,17 @@ class Trainer:
                 int(self.opt.nerf.sample_intvs))
         self._step_cfg = None
 
-    def _probe_compact_k(self, n_probe_rays: int = 4096) -> Optional[int]:
+    def _probe_compact_k(self, n_probe_rays: int = 4096, poses=None,
+                         intr_inv=None, pad: float = 1.25) -> Optional[int]:
         """Measure the worst-case number of alive samples per ray under the
         current alpha mask and pick a static compaction budget K.
 
         TPU analogue of the reference's boolean sample culling
         (tensorBase.py:750-755) with static shapes: rays keep only K sample
-        slots.  The probe renders rays from every training view and takes
-        the max alive count, padded 25% and rounded to a multiple of 64.
+        slots.  The probe renders rays from every view of ``poses``
+        (training poses by default; eval callers pass the poses they will
+        render so the budget covers those rays) and takes the max alive
+        count, padded by ``pad`` and rounded to a multiple of 64.
         """
         if self.alpha_mask is None or self.opt.camera.get("ndc", False):
             return None
@@ -590,11 +593,15 @@ class Trainer:
         aabb = field.aabb
         res = self.resolution
         S = self.n_samples
-        per_view = max(1, n_probe_rays // self.n_views)
+        if poses is None:
+            poses, _ = self.get_all_training_poses()
+            intr_inv = self.intr_inv
+        n_probe_views = poses.shape[0]
+        per_view = max(1, n_probe_rays // n_probe_views)
         idx = jnp.asarray(self.rng_np.permutation(self.H * self.W)[:per_view])
-        pose, _ = self.get_all_training_poses()
+        pose = poses
         centers, dirs = get_center_and_ray(self.H, self.W, pose,
-                                           self.intr_inv, ray_idx=idx)
+                                           intr_inv, ray_idx=idx)
         centers = centers.reshape(-1, 3)
         dirs = dirs.reshape(-1, 3)
 
@@ -614,7 +621,7 @@ class Trainer:
 
         mx = int(alive_max(centers, dirs, aabb, self.alpha_mask.grid,
                            self.alpha_mask.aabb))
-        k = min(S, max(64, int(-(-int(mx * 1.25) // 64) * 64)))
+        k = min(S, max(64, int(-(-int(mx * pad) // 64) * 64)))
         if k >= S:
             return None
         return k
@@ -653,17 +660,33 @@ class Trainer:
         return pose, self.gt_poses
 
     def render_views(self, pose, intr, intr_inv, chunk: int = 4096):
-        cfg = self._step_cfg or StepConfig(
+        # Build an eval-specific config instead of inheriting the last
+        # training phase's: the compaction budget is re-probed on the poses
+        # actually being rendered (test views see different alive counts
+        # than training views) with a wider 1.5x pad, so eval renders keep
+        # the "exact when <= K alive" guarantee for these rays.
+        eval_k = self._probe_compact_k(poses=jnp.asarray(pose),
+                                       intr_inv=jnp.asarray(intr_inv),
+                                       pad=1.5)
+        cfg = StepConfig(
             H=self.H, W=self.W, n_views=self.n_views, rays_per_view=chunk,
             n_samples=self.n_samples, pose_opt=self.is_bat,
             ndc=bool(self.opt.camera.get("ndc", False)),
             white_bg=bool(self.opt.nerf.get("setbg_opaque", True)),
-            densify_density=bool(self.opt.tpu.get("densify_density", True)),
+            ndc_near_plane=float(self.opt.arch.get("ndc_near_plane", 1.0)),
+            ndc_simulate_euclid_sample=bool(
+                self.opt.get("ndc_simulate_euclid_sample", False)),
+            ndc_simulate_euclid_depth=bool(
+                self.opt.get("ndc_simulate_euclid_depth", False)),
+            mlp_predict_density=bool(
+                self.opt.arch.shading.get("predict_density", False)),
+            use_alpha_mask=self.alpha_mask is not None,
+            compact_k=eval_k,
+            densify_density=(bool(self.opt.tpu.get("densify_density", True))
+                             and eval_k is None),
             app_k=(int(self.opt.tpu.app_k)
-                   if self.opt.tpu.get("app_k") else None))
-        cfg = dataclasses.replace(
-            cfg, n_samples=self.n_samples,
-            use_alpha_mask=self.alpha_mask is not None)
+                   if self.opt.tpu.get("app_k") else None),
+            mask_stride=int(self.opt.tpu.get("mask_stride", 2)))
         render = make_render_fn(cfg, self.vm_cfg, self.head, chunk=chunk)
         s = StepScalars(
             lr_index=jnp.float32(0), lr_basis=jnp.float32(0),
@@ -678,6 +701,80 @@ class Trainer:
         self.key, rkey = jax.random.split(self.key)
         return render(self.state.params.field, pose, intr, intr_inv, s,
                       self.alpha_mask, rkey)
+
+    def eval_clip_stats(self, pose, intr_inv, n_probe_rays: int = 4096):
+        """Clip-rate diagnostics for the static compaction caps.
+
+        Exactness of the static-shape analogues of the reference's dynamic
+        boolean gathers (tensorBase.py:750-783) depends on two caps:
+        ``compact_k`` (alive samples per ray) and ``app_k`` (samples passing
+        the weight threshold).  Returns the fraction of probe rays whose
+        true counts exceed each cap — 0.0 means the render was exact for
+        those rays; nonzero rates quantify how many rays could drop
+        (sub-threshold-weighted) contributions the reference would keep.
+        """
+        from ..geometry.rays import get_center_and_ray
+        from ..models.alpha_mask import sample_alpha
+        from ..render.renderer import sample_ray
+
+        field = self.state.params.field
+        aabb = field.aabb
+        S = self.n_samples
+        per_view = max(1, n_probe_rays // max(1, pose.shape[0]))
+        idx = jnp.asarray(self.rng_np.permutation(self.H * self.W)[:per_view])
+        centers, dirs = get_center_and_ray(self.H, self.W, jnp.asarray(pose),
+                                           jnp.asarray(intr_inv), ray_idx=idx)
+        centers = centers.reshape(-1, 3)
+        dirs = dirs.reshape(-1, 3)
+        app_k = (int(self.opt.tpu.app_k)
+                 if self.opt.tpu.get("app_k") else None)
+        compact_k = self._probe_compact_k(poses=jnp.asarray(pose),
+                                          intr_inv=jnp.asarray(intr_inv),
+                                          pad=1.5)
+
+        @jax.jit
+        def counts(field, centers, dirs, near_far):
+            units = (field.aabb[1] - field.aabb[0]) / (
+                jnp.asarray(self.resolution, jnp.float32) - 1)
+            step = jnp.mean(units) * self.vm_cfg.step_ratio
+            pts, z_vals, in_bbox = sample_ray(
+                field.aabb, step, S, centers, dirs, jax.random.PRNGKey(0),
+                near_far[0], near_far[1], stratified=False)
+            valid = in_bbox
+            if self.alpha_mask is not None:
+                a = sample_alpha(self.alpha_mask,
+                                 pts.reshape(-1, 3)).reshape(pts.shape[:2])
+                valid = valid & (a > 0)
+            coords = vm_lib.normalize_coord(pts.reshape(-1, 3), field.aabb)
+            feat = vm_lib.compute_density_feature(
+                field, self.vm_cfg, coords,
+                stop_coord_grad=True).reshape(pts.shape[:2])
+            sigma = jnp.where(valid, vm_lib.feature2density(self.vm_cfg, feat),
+                              0.0)
+            dists = jnp.concatenate(
+                [z_vals[:, 1:] - z_vals[:, :-1],
+                 jnp.zeros_like(z_vals[:, :1])], -1)
+            alpha = 1.0 - jnp.exp(-sigma * dists * self.vm_cfg.distance_scale)
+            T_excl = jnp.concatenate(
+                [jnp.ones_like(alpha[:, :1]),
+                 jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)[:, :-1]], -1)
+            weight = alpha * T_excl
+            n_alive = jnp.sum(valid, axis=-1)
+            n_gate = jnp.sum(
+                (weight > self.vm_cfg.raymarch_weight_thres) & valid, axis=-1)
+            return n_alive, n_gate
+
+        near_far = jnp.asarray(self._near_far(), jnp.float32)
+        n_alive, n_gate = counts(field, centers, dirs, near_far)
+        n_alive = np.asarray(n_alive)
+        n_gate = np.asarray(n_gate)
+        out = {"compact_k": compact_k, "app_k": app_k,
+               "max_alive": int(n_alive.max()), "max_gate": int(n_gate.max())}
+        out["compact_clip_rate"] = (float((n_alive > compact_k).mean())
+                                    if compact_k is not None else 0.0)
+        out["app_k_clip_rate"] = (float((n_gate > app_k).mean())
+                                  if app_k is not None else 0.0)
+        return out
 
     def validate(self, data: Optional[SceneData] = None, align: bool = True):
         """PSNR over a validation split (optionally sim3-aligned poses)."""
