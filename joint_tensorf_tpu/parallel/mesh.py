@@ -29,7 +29,15 @@ def make_mesh(shape=None, axes=("rays",), devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axes) - 1)
-    arr = np.asarray(devices[: int(np.prod(shape))]).reshape(shape)
+    need = int(np.prod(shape))
+    if len(devices) < need:
+        raise ValueError(
+            f"mesh shape {tuple(shape)} needs {need} devices but only "
+            f"{len(devices)} are visible. For CPU validation set "
+            f"JAX_PLATFORMS=cpu JTF_NUM_CPU_DEVICES={need} (or "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={need}); "
+            f"on hardware unset tpu.mesh_shape or match the chip count.")
+    arr = np.asarray(devices[:need]).reshape(shape)
     return Mesh(arr, axes)
 
 

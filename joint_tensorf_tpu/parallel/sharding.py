@@ -4,11 +4,16 @@ Sharding layout:
   * ray batch (``ray_idx``) -> P("rays")
   * factor grids -> P(None, None, "comp") on the component axis when the
     mesh has a comp axis (tensor parallelism); replicated otherwise
-  * everything else (pose table, basis, MLP, images) -> replicated
+  * everything else (pose table, basis, MLP, images, L2G warp nets,
+    error maps) -> replicated
 
 With these in/out shardings under ``jax.jit`` the SPMD partitioner slices
 the render + VJP over rays, keeps factor math component-local, and inserts
 the psum for replicated-param gradients — no hand-written collectives.
+
+Works for any trainer state pytree shaped like
+``state.params.field: VMState`` + ``state.scene_opt: AdamState over the
+field`` (both TrainState and L2GState): every other leaf is replicated.
 """
 from __future__ import annotations
 
@@ -18,7 +23,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.vm import VMState
-from ..train.step import Params, StepScalars, TrainState
+from ..train.step import StepScalars
 
 
 def _ns(mesh: Mesh, spec: P) -> NamedSharding:
@@ -42,26 +47,23 @@ def field_sharding(mesh: Mesh, field: VMState, shard_components: bool):
     )
 
 
-def state_sharding(mesh: Mesh, state: TrainState,
-                   shard_components: bool = False):
-    """Sharding pytree matching a TrainState."""
+def state_sharding(mesh: Mesh, state, shard_components: bool = False):
+    """Sharding pytree matching any TrainState-shaped state.
+
+    Replicates every leaf, then shards ``params.field`` and the matching
+    scene-optimizer moments on the component axis.  Covers the BAT
+    TrainState and the L2G L2GState (whose extra leaves — warp nets,
+    optimised-pose table, error map — are all small and replicated).
+    """
     repl = _ns(mesh, P())
     fs = field_sharding(mesh, state.params.field, shard_components)
-
-    def opt_sharding(opt_state, params_sharding):
-        return dataclasses.replace(
-            opt_state,
-            mu=params_sharding, nu=jax.tree.map(lambda s: s, params_sharding),
-            count=repl,
-        )
-
-    params_s = Params(field=fs, se3_refine=repl)
-    return TrainState(
-        params=params_s,
-        scene_opt=opt_sharding(state.scene_opt, fs),
-        pose_opt=dataclasses.replace(
-            state.pose_opt, mu=repl, nu=repl, count=repl),
-        pose_grad_accum=repl,
+    sh = jax.tree.map(lambda _: repl, state)
+    return dataclasses.replace(
+        sh,
+        params=dataclasses.replace(sh.params, field=fs),
+        scene_opt=dataclasses.replace(sh.scene_opt, mu=fs,
+                                      nu=jax.tree.map(lambda s: s, fs),
+                                      count=repl),
     )
 
 
@@ -73,9 +75,20 @@ def batch_sharding(mesh: Mesh):
                 edge_masks=repl, view_sel=repl, ray_idx=rays, rng=repl)
 
 
-def shard_train_step(step_fn, mesh: Mesh, state: TrainState,
+def shard_state(mesh: Mesh, state, shard_components: bool = False):
+    """device_put a trainer state onto the mesh with its sharding."""
+    return jax.device_put(state, state_sharding(mesh, state,
+                                                shard_components))
+
+
+def shard_train_step(step_fn, mesh: Mesh, state,
                      shard_components: bool = False):
-    """jit a raw (unjitted) train step with explicit in/out shardings."""
+    """jit a raw (unjitted) train step with explicit in/out shardings.
+
+    ``state`` supplies the pytree structure (TrainState or L2GState);
+    the step contract is the shared one of make_train_step /
+    make_l2g_train_step.
+    """
     st_sh = state_sharding(mesh, state, shard_components)
     b = batch_sharding(mesh)
     repl = _ns(mesh, P())
@@ -94,3 +107,27 @@ def shard_train_step(step_fn, mesh: Mesh, state: TrainState,
         out_shardings=(st_sh, None),
     )
     return sharded
+
+
+def shard_render_chunk(render_chunk_fn, mesh: Mesh, field: VMState,
+                       shard_components: bool = False):
+    """jit a raw render chunk fn with ray-sharded inputs.
+
+    Contract: render_chunk(field, centers [C,3], dirs [C,3], scalars,
+    alpha_mask, rng) -> (rgb, depth, opacity); centers/dirs/outputs are
+    sharded over the rays axis, the field per field_sharding.
+    """
+    fs = field_sharding(mesh, field, shard_components)
+    rays = _ns(mesh, P("rays"))
+    repl = _ns(mesh, P())
+    sc_sh = jax.tree.map(lambda _: repl, StepScalars(
+        lr_index=0.0, lr_basis=0.0, lr_pose=0.0, c2f_density=0.0,
+        c2f_color=0.0, near_far=0.0, l1_weight=0.0, tv_density_weight=0.0,
+        tv_color_weight=0.0, use_edge=0.0, edge_factor=0.0,
+        non_edge_factor=0.0, view_pe_progress=0.0, fea_pe_progress=0.0,
+        pose_do_step=0.0, tv_depth_weight=0.0))
+    return jax.jit(
+        render_chunk_fn,
+        in_shardings=(fs, rays, rays, sc_sh, None, repl),
+        out_shardings=(rays, rays, rays),
+    )

@@ -51,8 +51,9 @@ class L2GTrainer(Trainer):
             init_scale=float(opt.arch.tensorf.get("volume_init_scale", 0.1)),
             init_bias=float(opt.arch.tensorf.get("volume_init_bias", 0.0)))
 
-    def _make_step(self, cfg: StepConfig):
-        return make_l2g_train_step(cfg, self.l2g_cfg, self.vm_cfg, self.head)
+    def _make_raw_step(self, cfg: StepConfig, jit: bool):
+        return make_l2g_train_step(cfg, self.l2g_cfg, self.vm_cfg, self.head,
+                                   jit=jit)
 
     def _rebuild_opt_state(self, state: L2GState) -> L2GState:
         return dataclasses.replace(

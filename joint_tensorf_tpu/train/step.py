@@ -253,13 +253,17 @@ def rebuild_opt_state(state: TrainState) -> TrainState:
 
 # ----------------------------------------------------------------- rendering
 def make_render_fn(cfg: StepConfig, vm_cfg: vm_lib.VMConfig, head,
-                   chunk: int = 4096, blur: Optional[BlurSpec] = None):
+                   chunk: int = 4096, blur: Optional[BlurSpec] = None,
+                   mesh=None, field=None, shard_components: bool = False):
     """Chunked full-image renderer (the reference's render_by_slices,
     nerf.py:728-740).  Returns render(field, pose [B,3,4], intr, intr_inv,
-    scalars, alpha_mask, rng) -> (rgb [B,HW,3], depth, opacity)."""
+    scalars, alpha_mask, rng) -> (rgb [B,HW,3], depth, opacity).
+
+    With ``mesh`` (and a template ``field`` for its sharding pytree), each
+    chunk's rays are sharded over the mesh's rays axis — the eval-path
+    analogue of shard_train_step."""
     rcfg = dataclasses.replace(cfg.render_config(is_train=False))
 
-    @jax.jit
     def render_chunk(field, centers, dirs, s: StepScalars, alpha_mask, rng):
         return render_rays(
             field, vm_cfg, rcfg, head, centers, dirs, rng, s.near_far,
@@ -267,6 +271,13 @@ def make_render_fn(cfg: StepConfig, vm_cfg: vm_lib.VMConfig, head,
             c2f_density=s.c2f_density, c2f_color=s.c2f_color,
             view_pe_progress=s.view_pe_progress,
             fea_pe_progress=s.fea_pe_progress)
+
+    if mesh is not None:
+        from ..parallel.sharding import shard_render_chunk
+        render_chunk = shard_render_chunk(render_chunk, mesh, field,
+                                          shard_components)
+    else:
+        render_chunk = jax.jit(render_chunk)
 
     def render(field, pose, intr, intr_inv, s, alpha_mask, rng):
         import numpy as np

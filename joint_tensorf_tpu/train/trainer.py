@@ -189,9 +189,36 @@ class Trainer:
         if init_se3 is not None:
             self.state.params.se3_refine = jnp.asarray(init_se3)
 
+        # ---------------- device mesh (multi-chip training, SURVEY §5.8)
+        # opt.tpu.mesh_shape e.g. [8] or [4, 2] with mesh_axes [rays, comp]:
+        # ray batches shard over "rays" (data parallel; pose/factor grads
+        # psum-reduce), factor components over "comp" (tensor parallel).
+        self.mesh = None
+        self.shard_components = False
+        mesh_shape = opt.tpu.get("mesh_shape")
+        if mesh_shape:
+            from ..parallel.mesh import make_mesh
+
+            axes = tuple(opt.tpu.get("mesh_axes") or ["rays"])
+            shape = tuple(int(x) for x in mesh_shape)
+            axes = axes[:len(shape)]
+            self.mesh = make_mesh(shape, axes)
+            self.shard_components = dict(zip(axes, shape)).get("comp", 1) > 1
+
         self._step_fn = None
         self._step_cfg = None
         self.metrics_history: list[dict] = []
+        self._shard_state()
+
+    def _shard_state(self):
+        """(Re-)place the train state onto the mesh with its shardings —
+        called at init and after every phase transition that rebuilds
+        state arrays (upsample / shrink / alphamask)."""
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_state
+
+            self.state = shard_state(self.mesh, self.state,
+                                     self.shard_components)
 
     # ------------------------------------------------------------- schedules
     @property
@@ -402,8 +429,25 @@ class Trainer:
         return self._step_fn
 
     def _make_step(self, cfg: StepConfig):
-        """Step builder — overridden by L2GTrainer."""
-        return make_train_step(cfg, self.vm_cfg, self.head)
+        """Step builder: jit directly on one device, or jit with explicit
+        in/out shardings over the mesh (the SPMD partitioner then slices
+        the render+VJP over rays / components and inserts the psums)."""
+        if self.mesh is None:
+            return self._make_raw_step(cfg, jit=True)
+        from ..parallel.sharding import shard_train_step
+
+        n_rays_axis = dict(self.mesh.shape).get("rays", 1)
+        assert cfg.rays_per_view % n_rays_axis == 0, (
+            f"rays per view ({cfg.rays_per_view}) must be divisible by the "
+            f"mesh rays axis ({n_rays_axis}) — adjust nerf.n_rays / "
+            f"train_schedule.n_rays_*")
+        raw = self._make_raw_step(cfg, jit=False)
+        return shard_train_step(raw, self.mesh, self.state,
+                                self.shard_components)
+
+    def _make_raw_step(self, cfg: StepConfig, jit: bool):
+        """Raw step constructor — overridden by L2GTrainer."""
+        return make_train_step(cfg, self.vm_cfg, self.head, jit=jit)
 
     def _rebuild_opt_state(self, state):
         """Fresh optimizer moments after a shape transition — overridden by
@@ -521,6 +565,7 @@ class Trainer:
                 self.state, params=dataclasses.replace(
                     self.state.params, field=new_field))
             self.state = self._rebuild_opt_state(self.state)
+            self._shard_state()
             self.n_samples = schedules.find_n_samples(
                 self.resolution, float(self.opt.nerf.step_ratio),
                 int(self.opt.nerf.sample_intvs))
@@ -564,6 +609,7 @@ class Trainer:
                 self.state, params=dataclasses.replace(
                     self.state.params, field=new_field))
             self.state = self._rebuild_opt_state(self.state)
+            self._shard_state()
             self.n_samples = schedules.find_n_samples(
                 self.resolution, float(self.opt.nerf.step_ratio),
                 int(self.opt.nerf.sample_intvs))
@@ -687,7 +733,10 @@ class Trainer:
             app_k=(int(self.opt.tpu.app_k)
                    if self.opt.tpu.get("app_k") else None),
             mask_stride=int(self.opt.tpu.get("mask_stride", 2)))
-        render = make_render_fn(cfg, self.vm_cfg, self.head, chunk=chunk)
+        render = make_render_fn(cfg, self.vm_cfg, self.head, chunk=chunk,
+                                mesh=self.mesh,
+                                field=self.state.params.field,
+                                shard_components=self.shard_components)
         s = StepScalars(
             lr_index=jnp.float32(0), lr_basis=jnp.float32(0),
             lr_pose=jnp.float32(0), c2f_density=jnp.float32(0),
