@@ -428,6 +428,25 @@ def density_L1(state: VMState):
     return total
 
 
+def _vector_diffs(lines):
+    """Mean |off-diagonal| of the line-factor Gram matrices — the component
+    orthogonality diagnostic (tensoRF.py:198-207; defined on both
+    TensorVMSplit and the legacy fused TensorVM, referenced by no config —
+    provided for API parity)."""
+    total = 0.0
+    for l in lines:                       # [D, R]
+        gram = l.astype(jnp.float32).T @ l.astype(jnp.float32)
+        R = gram.shape[0]
+        off = gram * (1.0 - jnp.eye(R, dtype=gram.dtype))
+        total = total + jnp.sum(jnp.abs(off)) / (R * (R - 1))
+    return total
+
+
+def vector_comp_diffs(state: VMState):
+    """tensoRF.py:209-210: density + appearance line orthogonality."""
+    return _vector_diffs(state.density_lines) + _vector_diffs(state.app_lines)
+
+
 def _tv_plane(p):
     """TV of a [H,W,R] plane, matching the reference TVLoss on [1,R,H,W]
     (tensorBase.py:16-41): 2*(mean dh^2 + mean dw^2), batch=1."""

@@ -150,3 +150,36 @@ def test_cp_decomposition():
     assert sigma.shape == (16,)
     app = vm_lib.compute_app_feature(state, cfg, coords)
     assert app.shape == (16, cfg.app_dim)
+
+
+def test_vector_comp_diffs_matches_reference_semantics():
+    """vm.vector_comp_diffs = mean |off-diagonal| of line Gram matrices
+    (tensoRF.py:198-210): zero for orthogonal factors, positive otherwise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from joint_tensorf_tpu.models import vm as vm_lib
+
+    cfg = vm_lib.VMConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8),
+                          app_dim=27, shading_mode="MLP_Fea", hidden=32)
+    state = vm_lib.init_vm(jax.random.PRNGKey(0), cfg, (16, 16, 16),
+                           [-1, -1, -1, 1, 1, 1])
+    v = float(vm_lib.vector_comp_diffs(state))
+    assert np.isfinite(v) and v > 0
+
+    # orthogonal (one-hot) line factors -> exactly zero
+    eye_lines = [jnp.eye(16, 4), jnp.eye(16, 4), jnp.eye(16, 4)]
+    import dataclasses
+    st0 = dataclasses.replace(state, density_lines=eye_lines,
+                              app_lines=[jnp.eye(16, 8)] * 3)
+    assert float(vm_lib.vector_comp_diffs(st0)) == 0.0
+
+    # manual check against the reference formula on one factor
+    l = np.asarray(state.density_lines[0], np.float64)
+    gram = l.T @ l
+    R = gram.shape[0]
+    off = gram[~np.eye(R, dtype=bool)]
+    expected = np.abs(off).mean()
+    got = float(vm_lib._vector_diffs([state.density_lines[0]]))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
