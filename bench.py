@@ -160,38 +160,45 @@ def main():
         return fn(st, pose_base, intr, intr_inv, images, edges, view_sel,
                   idx, key, s, mask)
 
-    def measure(fn, mask, iters=15, st=None):
+    def measure(fn, mask, iters=10, reps=5, st=None):
+        """Median-of-``reps`` pipelined batches (+ batch spread).
+
+        Each batch chains ``iters`` steps through the state dependency with
+        ONE final sync — what a real dispatch-ahead training loop pays per
+        iteration.  The axon-tunnel backend swings ±25% across sessions
+        (BENCH_NOTES.md), so the JSON carries median AND min/max batch
+        means rather than a single draw.
+        """
         import sys
         st = state if st is None else st
         for i in range(3):
             st, metrics = run_iter(st, i, fn, mask)
             float(metrics["loss"])  # sync each warmup iter
             print(f"[bench] warmup {i} ok", file=sys.stderr)
-        # Per-iter host sync: an upper bound (the tunneled axon backend's
-        # block_until_ready alone under-reports single-op wall time).
-        t0 = time.perf_counter()
-        for i in range(iters):
-            st, metrics = run_iter(st, 100 + i, fn, mask)
+        batch_means = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                st, metrics = run_iter(st, 100 + r * iters + i, fn, mask)
             float(metrics["loss"])
-        t_sync = (time.perf_counter() - t0) / iters
-        # Pipelined: the steps form one dependency chain through `st`, so a
-        # single final sync cannot skip work — this is what a real training
-        # loop (dispatch-ahead) pays per iteration.
-        t0 = time.perf_counter()
-        for i in range(iters):
-            st, metrics = run_iter(st, 200 + i, fn, mask)
-        float(metrics["loss"])
-        t_pipe = (time.perf_counter() - t0) / iters
-        print(f"[bench] sync {t_sync*1000:.1f} ms | pipelined "
-              f"{t_pipe*1000:.1f} ms", file=sys.stderr)
-        return min(t_sync, t_pipe)
+            batch_means.append((time.perf_counter() - t0) / iters)
+        batch_means.sort()
+        med = batch_means[len(batch_means) // 2]
+        print(f"[bench] pipelined batches (ms): "
+              f"{[round(b*1000,1) for b in batch_means]} -> median "
+              f"{med*1000:.1f}", file=sys.stderr)
+        return {"median_s": med, "min_s": batch_means[0],
+                "max_s": batch_means[-1], "reps": reps, "iters": iters}
 
     import sys
-    t_early = measure(step_e, None, st=state_e)
+    m_early = measure(step_e, None, st=state_e)
+    t_early = m_early["median_s"]
     print(f"[bench] early {t_early*1000:.1f} ms", file=sys.stderr)
-    t_dense = measure(step, None)
+    m_dense = measure(step, None)
+    t_dense = m_dense["median_s"]
     print(f"[bench] dense {t_dense*1000:.1f} ms", file=sys.stderr)
-    t_compact = measure(step_c, alpha_mask)
+    m_compact = measure(step_c, alpha_mask)
+    t_compact = m_compact["median_s"]
     print(f"[bench] compact {t_compact*1000:.1f} ms", file=sys.stderr)
 
     # schedule-weighted over the bat_blender_VM phases: iterations 0-9000
@@ -208,6 +215,14 @@ def main():
         "detail": {"ms_early": round(t_early * 1000, 1),
                    "ms_dense": round(t_dense * 1000, 1),
                    "ms_compacted": round(t_compact * 1000, 1),
+                   "spread_ms": {
+                       "early": [round(m_early["min_s"] * 1000, 1),
+                                 round(m_early["max_s"] * 1000, 1)],
+                       "dense": [round(m_dense["min_s"] * 1000, 1),
+                                 round(m_dense["max_s"] * 1000, 1)],
+                       "compacted": [round(m_compact["min_s"] * 1000, 1),
+                                     round(m_compact["max_s"] * 1000, 1)]},
+                   "median_of": m_compact["reps"],
                    "compact_k": compact_k, "n_rays": n_rays,
                    "n_samples": n_samples},
     }))
