@@ -1,0 +1,184 @@
+"""Lane-packed dense-grid trilinear sampling (TPU 128-lane layout).
+
+Round-2 perf finding (scripts/densify_breakdown.py, float-synced): the
+corner-packed [X,Y,Z,8] layout of ops/densify.py gathers 8-wide rows —
+8/128 of a TPU vector lane — and measured ~92 ns/row (48 ms forward, 94 ms
+backward at 524k samples).  Row ops pay for *rows*, so the fix is to make
+each gathered row carry a full 128-lane payload:
+
+  * pack the grid as [X, Y, Zb, 128]: each 128-lane row holds a run of
+    32 z-entries x 4 xy-corner channels (c = dx*2 + dy), blocks advance
+    31 z cells with 1 halo entry so any (z0, z0+1) pair lives in one row;
+  * one [N, 128] row gather per sample;
+  * the 8 trilinear corner values are extracted with a masked dot:
+    value = sum(row * W) where W has 8 nonzero lanes built from lane-iota
+    comparisons (VPU elementwise, no second gather).
+
+Everything is plain jnp: autodiff turns the gather into one full-lane row
+scatter, the masked dot into the coordinate (pose-path) gradients, and the
+pack's shifted slices into the dense fold — no custom VJP needed.
+
+Semantics are identical to ops/densify.sample_packed_grid (same clamping
+conventions as ops/sampling._floor_frac); pinned in tests/test_lane_grid.py.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+ZRUN = 31          # z cells advanced per block (32 entries incl. 1 halo)
+LANES = 128        # 32 z-entries x 4 xy-corner channels
+
+
+def _shift(a, axis):
+    """Edge-clamped +1 shift along ``axis`` (same clamp as pack_corners)."""
+    idx_main = [slice(None)] * a.ndim
+    idx_last = [slice(None)] * a.ndim
+    idx_main[axis] = slice(1, None)
+    idx_last[axis] = slice(-1, None)
+    return jnp.concatenate([a[tuple(idx_main)], a[tuple(idx_last)]],
+                           axis=axis)
+
+
+def n_blocks(Z: int) -> int:
+    return -(-max(Z - 1, 1) // ZRUN)
+
+
+def _pack_lane_grid_impl(G):
+    X, Y, Z = G.shape
+    Zb = n_blocks(Z)
+    gy = _shift(G, 1)
+    g4 = jnp.stack([G, gy, _shift(G, 0), _shift(gy, 0)], axis=-1)  # [X,Y,Z,4]
+    zpad = Zb * ZRUN + 1 - Z
+    if zpad > 0:
+        g4 = jnp.concatenate(
+            [g4, jnp.repeat(g4[:, :, -1:], zpad, axis=2)], axis=2)
+    blocks = [jax.lax.slice_in_dim(g4, zb * ZRUN, zb * ZRUN + ZRUN + 1,
+                                   axis=2) for zb in range(Zb)]
+    out = jnp.stack(blocks, axis=2)                  # [X, Y, Zb, 32, 4]
+    return out.reshape(X, Y, Zb, LANES)
+
+
+@jax.custom_vjp
+def pack_lane_grid(G):
+    """[X, Y, Z] -> [X, Y, Zb, 128] lane-packed corner grid.
+
+    Entry (x, y, zb, j*4 + c) = G[x+dx, y+dy, zb*31 + j] for c = dx*2+dy,
+    j in 0..31 (edge-clamped; z rows beyond Z-1 clamp to the last cell).
+
+    The VJP is hand-written: the naive autodiff fold reshapes through
+    4-minor-lane intermediates and measured 300+ ms at 300^3 on v5e; this
+    fold keeps every intermediate >= 32 lanes wide — per corner channel,
+    an MXU lane-extraction matmul [.,128]@[128,32], a block overlap-add
+    (core reshape + one strided halo add), then the shift transposes on
+    the full-Z-minor grid.
+    """
+    return _pack_lane_grid_impl(G)
+
+
+def _pack_fwd(G):
+    return _pack_lane_grid_impl(G), G.shape
+
+
+def _unshift_T(d, axis):
+    """Transpose of the edge-clamped +1 _shift: out[i+1] += d[i] with the
+    last slot clamping onto itself."""
+    pad_cfg = [(0, 0)] * d.ndim
+    pad_cfg[axis] = (1, 0)
+    out = jnp.pad(d[tuple(
+        slice(None) if a != axis else slice(0, d.shape[axis] - 1)
+        for a in range(d.ndim))], pad_cfg)
+    idx_last = tuple(slice(None) if a != axis else slice(-1, None)
+                     for a in range(d.ndim))
+    return out.at[idx_last].add(d[idx_last])
+
+
+def _pack_bwd(shape, dP):
+    X, Y, Z = shape
+    Zb = n_blocks(Z)
+    Zpad = Zb * ZRUN + 1
+    flat = dP.reshape(X * Y * Zb, LANES)
+    hi = jax.lax.Precision.HIGHEST
+
+    d_g4 = []                                     # per corner: [X, Y, Zpad]
+    for c in range(4):
+        # lane extraction via MXU: M[l, j] = 1 iff l == j*4 + c
+        M = jnp.zeros((LANES, 32), dP.dtype).at[
+            jnp.arange(32) * 4 + c, jnp.arange(32)].set(1.0)
+        dc = jax.lax.dot_general(flat, M, (((1,), (0,)), ((), ())),
+                                 precision=hi)     # [X*Y*Zb, 32]
+        dc = dc.reshape(X, Y, Zb, 32)
+        # block overlap-add: entry j<=30 -> z = zb*31 + j (disjoint cores),
+        # halo entry j=31 -> z = zb*31 + 31 (the next block's j=0 slot)
+        core = dc[..., :ZRUN].reshape(X, Y, Zb * ZRUN)
+        out = jnp.concatenate(
+            [core, jnp.zeros((X, Y, 1), dP.dtype)], axis=2)  # [X, Y, Zpad]
+        out = out.at[:, :, ZRUN::ZRUN].add(dc[..., 31])
+        d_g4.append(out)
+
+    # un-pad z: clamped tail rows fold onto the last real cell
+    def unpad_z(d):
+        if Zpad == Z:
+            return d
+        main = d[:, :, :Z]
+        return main.at[:, :, -1].add(jnp.sum(d[:, :, Z:], axis=2))
+
+    d_g4 = [unpad_z(d) for d in d_g4]
+    # transpose of the xy corner shifts: c = dx*2 + dy over [G, Gy, Gx, Gxy]
+    dG = d_g4[0]
+    dG = dG + _unshift_T(d_g4[1], 1)
+    dG = dG + _unshift_T(d_g4[2], 0)
+    dG = dG + _unshift_T(_unshift_T(d_g4[3], 1), 0)
+    return (dG,)
+
+
+pack_lane_grid.defvjp(_pack_fwd, _pack_bwd)
+
+
+def _pix(coord, size: int):
+    return jnp.clip((coord + 1.0) * 0.5 * (size - 1), 0.0, size - 1.0)
+
+
+def _floor_frac(x, size: int):
+    x0 = jnp.clip(jnp.floor(jax.lax.stop_gradient(x)), 0,
+                  size - 2 if size > 1 else 0)
+    frac = x - x0
+    return x0.astype(jnp.int32), frac
+
+
+def sample_lane_grid(G128, coords, Z: int):
+    """Trilinear sample via ONE full-lane row gather per point.
+
+    G128: [X, Y, Zb, 128] from pack_lane_grid; coords: [N, 3] normalized to
+    [-1, 1] per axis (x -> X, the normalize_coord convention); Z: the
+    unpacked z extent (static) -> [N].
+    """
+    X, Y, Zb, _ = G128.shape
+    x0, fx = _floor_frac(_pix(coords[:, 0], X), X)
+    y0, fy = _floor_frac(_pix(coords[:, 1], Y), Y)
+    z0, fz = _floor_frac(_pix(coords[:, 2], Z), Z)
+    zb = z0 // ZRUN
+    zl = z0 - zb * ZRUN                                # 0..30
+
+    rows = jnp.take(G128.reshape(X * Y * Zb, LANES),
+                    (x0 * Y + y0) * Zb + zb, axis=0)   # [N, 128]
+
+    # masked-dot extraction: lane j*4 + c carries (z_local=j, corner c)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    base = (zl * 4)[:, None]                           # [N, 1]
+    w00 = ((1 - fx) * (1 - fy))[:, None]
+    w01 = ((1 - fx) * fy)[:, None]
+    w10 = (fx * (1 - fy))[:, None]
+    w11 = (fx * fy)[:, None]
+    wz0 = (1 - fz)[:, None]
+    wz1 = fz[:, None]
+    zero = jnp.zeros((), G128.dtype)
+    W = (jnp.where(iota == base, w00 * wz0, zero)
+         + jnp.where(iota == base + 1, w01 * wz0, zero)
+         + jnp.where(iota == base + 2, w10 * wz0, zero)
+         + jnp.where(iota == base + 3, w11 * wz0, zero)
+         + jnp.where(iota == base + 4, w00 * wz1, zero)
+         + jnp.where(iota == base + 5, w01 * wz1, zero)
+         + jnp.where(iota == base + 6, w10 * wz1, zero)
+         + jnp.where(iota == base + 7, w11 * wz1, zero))
+    return jnp.sum(rows * W, axis=-1)

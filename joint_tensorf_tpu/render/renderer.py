@@ -72,6 +72,9 @@ class RenderConfig:
     # mathematically exact, one packed row op per sample instead of ~6
     # factored gathers/scatters, at an O(XYZ) per-step grid-build cost.
     densify_density: bool = False
+    # dense-grid layout: "packed8" (ops/densify.py corner channels) or
+    # "lane" (ops/lane_grid.py full-128-lane z-block rows + masked dot)
+    densify_impl: str = "packed8"
     # two-stage appearance: compute appearance/shading only on the top-app_k
     # samples per ray by compositing weight (the TPU analogue of the
     # reference's dynamic weight>thres gather, tensorBase.py:773-783).
@@ -295,14 +298,21 @@ def render_rays(
                  and not rcfg.mlp_predict_density)
     if use_densify:
         # density via the dense rank expansion: MXU einsum build + ONE
-        # packed row gather per sample (ops/densify.py — exact)
-        from ..ops import densify as densify_ops
-
+        # packed row gather per sample (exact; ops/densify.py docstring)
         G = vm_lib.compute_density_grid(state, cfg, blur_mats=d_mats)
-        G8 = densify_ops.pack_corners(G)
         dcoords = (jax.lax.stop_gradient(coords) if rcfg.stop_coord_grad
                    else coords)
-        sigma_feature = densify_ops.sample_packed_grid(G8, dcoords)
+        if rcfg.densify_impl == "lane":
+            from ..ops import lane_grid
+
+            G128 = lane_grid.pack_lane_grid(G)
+            sigma_feature = lane_grid.sample_lane_grid(G128, dcoords,
+                                                       G.shape[2])
+        else:
+            from ..ops import densify as densify_ops
+
+            G8 = densify_ops.pack_corners(G)
+            sigma_feature = densify_ops.sample_packed_grid(G8, dcoords)
         sigma_feature = sigma_feature.reshape(n, S)
         rgb_all = None
     elif rcfg.mlp_predict_density:

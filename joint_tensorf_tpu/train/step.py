@@ -106,6 +106,7 @@ class StepConfig:
     scene_b2: float = 0.99
     compact_k: Optional[int] = None             # alpha-mask sample compaction
     densify_density: bool = False               # dense-grid density expansion
+    densify_impl: str = "packed8"               # "packed8" | "lane" layout
     app_k: Optional[int] = None                 # two-stage appearance top-K2
     mask_stride: int = 2                        # alpha-probe stride (renderer)
 
@@ -122,6 +123,7 @@ class StepConfig:
             mlp_predict_density=self.mlp_predict_density,
             compact_k=self.compact_k,
             densify_density=self.densify_density,
+            densify_impl=self.densify_impl,
             app_k=self.app_k,
             mask_stride=self.mask_stride,
             # compaction already bounds backward residuals; skip the

@@ -43,11 +43,12 @@ def timed(name, build_fn, *args, iters=3):
     """build_fn() -> jitted fn(carry, *args) running LOOP reps inside."""
     fn = build_fn()
     out = fn(jnp.float32(0.0), *args)
-    jax.block_until_ready(out)
+    float(out)   # the axon tunnel's block_until_ready under-reports; a
+    # host transfer is the only trustworthy sync (bench.py measure())
     t0 = time.perf_counter()
     for i in range(iters):
         out = fn(out, *args)
-    jax.block_until_ready(out)
+    float(out)
     dt = (time.perf_counter() - t0) / (iters * LOOP) * 1000
     print(f"{name:24s}: {dt:8.2f} ms")
     return dt

@@ -32,11 +32,11 @@ LOOP = 8
 
 def timed(name, fn, *args, iters=3):
     out = fn(jnp.float32(0.0), *args)
-    jax.block_until_ready(out)
+    float(out)   # tunnel-safe sync: block_until_ready under-reports here
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(out, *args)
-    jax.block_until_ready(out)
+    float(out)
     dt = (time.perf_counter() - t0) / (iters * LOOP) * 1000
     print(f"{name:16s}: {dt:8.2f} ms", flush=True)
     return dt
@@ -113,5 +113,90 @@ def main():
     timed("full_grad", loop(full_grad), field, coords, dsamp)
 
 
+def lane_main():
+    """Lane-packed candidates vs the corner-packed path (round-2)."""
+    N = 2048 * 256
+    res = (300, 300, 300)
+    vm_cfg = vm_lib.VMConfig()
+    state = init_train_state(jax.random.PRNGKey(0), vm_cfg, res,
+                             [-1.5] * 3 + [1.5] * 3, 4)
+    field = state.params.field
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (N, 3), minval=-0.6,
+                                maxval=0.6)
+    ds = jnp.ones((N,), jnp.float32)
+
+    from joint_tensorf_tpu.ops import lane_grid
+
+    G = vm_lib.compute_density_grid(field, vm_cfg)
+    G128 = lane_grid.pack_lane_grid(G)
+    Z = res[2]
+
+    def lpack_fwd(c, g):
+        p = lane_grid.pack_lane_grid(g + c * 1e-20)
+        return c + jnp.sum(p) * 1e-20
+
+    def lgather_fwd(c, g128, cd):
+        s = lane_grid.sample_lane_grid(g128, cd + c * 1e-20, Z)
+        return c + jnp.sum(s) * 1e-20
+
+    def lgather_vjp(c, g128, cd, dss):
+        _, pull = jax.vjp(
+            lambda g, cc: lane_grid.sample_lane_grid(g, cc, Z), g128, cd)
+        dg, dcd = pull(dss + c * 1e-20)
+        return c + jnp.sum(dg) * 1e-20 + jnp.sum(dcd) * 1e-20
+
+    def lfull_grad(c, fld, cd, dss):
+        def f(fl, cc):
+            g = vm_lib.compute_density_grid(fl, vm_cfg)
+            g128 = lane_grid.pack_lane_grid(g)
+            return jnp.sum(lane_grid.sample_lane_grid(g128, cc, Z) * dss)
+
+        gf, gc = jax.grad(f, argnums=(0, 1))(fld, cd + c * 1e-20)
+        return c + sum(jnp.sum(x) for x in
+                       jax.tree_util.tree_leaves(gf)) * 1e-20 \
+            + jnp.sum(gc) * 1e-20
+
+    timed("lane_pack_fwd", loop(lpack_fwd), G)
+    timed("lane_gather_fwd", loop(lgather_fwd), G128, coords)
+    timed("lane_gather_vjp", loop(lgather_vjp), G128, coords, ds)
+    timed("lane_full_grad", loop(lfull_grad), field, coords, ds)
+
+    # ---- alpha-mask probe: packed-8 rows vs lane-packed rows
+    import numpy as _np
+    from scipy import ndimage
+
+    from joint_tensorf_tpu.models import alpha_mask as am_lib
+    from joint_tensorf_tpu.models.alpha_mask import (AlphaMask,
+                                                     pack_neighborhoods)
+
+    rng = _np.random.default_rng(0)
+    occ = (rng.random((160, 160, 160)) < 0.001).astype(_np.float32)
+    occ = ndimage.binary_dilation(occ > 0, iterations=8).astype(_np.float32)
+    grid = jnp.asarray(occ)
+    mask8 = AlphaMask(grid=grid, aabb=field.aabb,
+                      packed=pack_neighborhoods(grid))
+    m128 = lane_grid.pack_lane_grid(grid)
+    probe_n = 2048 * 500
+    pcoords = jax.random.uniform(jax.random.PRNGKey(5), (probe_n, 3),
+                                 minval=-1.0, maxval=1.0)
+    pworld = field.aabb[0] + (pcoords + 1) * 0.5 * (field.aabb[1]
+                                                    - field.aabb[0])
+
+    def probe8(c, pw):
+        a = am_lib.sample_alpha(mask8, pw + c * 1e-20)
+        return c + jnp.sum(a) * 1e-20
+
+    def probe128(c, pc):
+        a = lane_grid.sample_lane_grid(m128, pc + c * 1e-20, 160)
+        return c + jnp.sum(a) * 1e-20
+
+    timed("probe8 1M", loop(probe8), pworld)
+    timed("probe128 1M", loop(probe128), pcoords)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if len(_sys.argv) > 1 and _sys.argv[1] == "lane":
+        lane_main()
+    else:
+        main()

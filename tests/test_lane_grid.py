@@ -1,0 +1,70 @@
+"""Lane-packed grid sampling: exactness vs the corner-packed reference."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from joint_tensorf_tpu.ops import densify as densify_ops
+from joint_tensorf_tpu.ops import lane_grid
+
+
+def _setup(X=37, Y=29, Z=67, N=4096, seed=0):
+    kg, kc = jax.random.split(jax.random.PRNGKey(seed))
+    G = jax.random.normal(kg, (X, Y, Z))
+    coords = jax.random.uniform(kc, (N, 3), minval=-1.3, maxval=1.3)
+    return G, coords
+
+
+def test_matches_packed_grid_values():
+    G, coords = _setup()
+    ref = densify_ops.sample_packed_grid(densify_ops.pack_corners(G), coords)
+    got = lane_grid.sample_lane_grid(lane_grid.pack_lane_grid(G), coords,
+                                     G.shape[2])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_matches_at_block_boundaries():
+    """z0 at the 31-cell block seams and the clamped edges must read the
+    halo entry, not the next block's start."""
+    X, Y, Z = 8, 8, 96
+    G = jax.random.normal(jax.random.PRNGKey(1), (X, Y, Z))
+    # z0 in {30, 31, 61, 62, 92, Z-2} exercised via coords landing there
+    zs = jnp.array([30.3, 30.9, 31.1, 61.5, 62.0, 92.7, Z - 1.001, 0.0])
+    z_norm = zs / (Z - 1) * 2.0 - 1.0
+    coords = jnp.stack([jnp.full_like(z_norm, 0.21),
+                        jnp.full_like(z_norm, -0.4), z_norm], axis=-1)
+    ref = densify_ops.sample_packed_grid(densify_ops.pack_corners(G), coords)
+    got = lane_grid.sample_lane_grid(lane_grid.pack_lane_grid(G), coords, Z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_gradients_match_packed_grid():
+    """Grid AND coordinate (pose-path) gradients equal the corner-packed
+    reference path."""
+    G, coords = _setup(N=512)
+    ds = jax.random.normal(jax.random.PRNGKey(2), (512,))
+
+    def f_ref(g, c):
+        return jnp.sum(densify_ops.sample_packed_grid(
+            densify_ops.pack_corners(g), c) * ds)
+
+    def f_new(g, c):
+        return jnp.sum(lane_grid.sample_lane_grid(
+            lane_grid.pack_lane_grid(g), c, g.shape[2]) * ds)
+
+    gr, cr = jax.grad(f_ref, argnums=(0, 1))(G, coords)
+    gn, cn = jax.grad(f_new, argnums=(0, 1))(G, coords)
+    np.testing.assert_allclose(np.asarray(gn), np.asarray(gr),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(cr),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_small_z_grid():
+    """Z smaller than one block (early phases can have tiny grids)."""
+    G, coords = _setup(X=16, Y=16, Z=9, N=777, seed=3)
+    ref = densify_ops.sample_packed_grid(densify_ops.pack_corners(G), coords)
+    got = lane_grid.sample_lane_grid(lane_grid.pack_lane_grid(G), coords, 9)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
