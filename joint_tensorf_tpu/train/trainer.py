@@ -419,6 +419,7 @@ class Trainer:
             # off when compaction is active.
             densify_density=(bool(self.opt.tpu.get("densify_density", True))
                              and (blur_active or self.compact_k is None)),
+            densify_impl=str(self.opt.tpu.get("densify_impl", "packed8")),
             app_k=(int(self.opt.tpu.app_k)
                    if self.opt.tpu.get("app_k") else None),
             mask_stride=int(self.opt.tpu.get("mask_stride", 2)),
@@ -730,6 +731,7 @@ class Trainer:
             compact_k=eval_k,
             densify_density=(bool(self.opt.tpu.get("densify_density", True))
                              and eval_k is None),
+            densify_impl=str(self.opt.tpu.get("densify_impl", "packed8")),
             app_k=(int(self.opt.tpu.app_k)
                    if self.opt.tpu.get("app_k") else None),
             mask_stride=int(self.opt.tpu.get("mask_stride", 2)))
