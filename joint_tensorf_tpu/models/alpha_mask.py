@@ -46,14 +46,24 @@ def pack_neighborhoods(grid):
 
 
 def sample_alpha(mask: AlphaMask, xyz):
-    """xyz: [N,3] world -> trilinear alpha values [N] (tensorBase.py:91-95)."""
-    norm = (xyz - mask.aabb[0]) * (2.0 / (mask.aabb[1] - mask.aabb[0])) - 1.0
+    """World coords -> trilinear alpha values [N] (tensorBase.py:91-95).
+
+    xyz: [N,3] array, or a (x, y, z) tuple of [N] arrays (the hot path:
+    per-axis arrays keep every op full-lane — vm.coord_axes docstring).
+    """
+    if isinstance(xyz, (tuple, list)):
+        wx, wy, wz = xyz
+    else:
+        wx, wy, wz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    nx = (wx - mask.aabb[0, 0]) * (2.0 / (mask.aabb[1, 0] - mask.aabb[0, 0])) - 1.0
+    ny = (wy - mask.aabb[0, 1]) * (2.0 / (mask.aabb[1, 1] - mask.aabb[0, 1])) - 1.0
+    nz = (wz - mask.aabb[0, 2]) * (2.0 / (mask.aabb[1, 2] - mask.aabb[0, 2])) - 1.0
     if mask.packed is None:
-        return sample_grid3d(mask.grid, norm)
+        return sample_grid3d(mask.grid, jnp.stack([nx, ny, nz], axis=-1))
     X, Y, Z, _ = mask.packed.shape
-    x = jnp.clip((norm[:, 0] + 1) * 0.5 * (X - 1), 0, X - 1)
-    y = jnp.clip((norm[:, 1] + 1) * 0.5 * (Y - 1), 0, Y - 1)
-    z = jnp.clip((norm[:, 2] + 1) * 0.5 * (Z - 1), 0, Z - 1)
+    x = jnp.clip((nx + 1) * 0.5 * (X - 1), 0, X - 1)
+    y = jnp.clip((ny + 1) * 0.5 * (Y - 1), 0, Y - 1)
+    z = jnp.clip((nz + 1) * 0.5 * (Z - 1), 0, Z - 1)
     x0 = jnp.clip(jnp.floor(x), 0, X - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(y), 0, Y - 2).astype(jnp.int32)
     z0 = jnp.clip(jnp.floor(z), 0, Z - 2).astype(jnp.int32)

@@ -166,6 +166,20 @@ def normalize_coord(xyz, aabb):
     return (xyz - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
 
 
+def coord_axes(coords):
+    """coords as (cx, cy, cz) tuple of [N] arrays, from either form.
+
+    Feature evaluators take per-axis coordinate arrays: slicing columns out
+    of an [N,3] array (and the pad-scatter transpose of that slice in the
+    VJP) runs at 4/128 vector lanes on TPU and measurably dominated the
+    compacted train step (docs/DESIGN_NOTES.md round-2); callers on the hot
+    path pass a tuple of lane-friendly [N] arrays instead.
+    """
+    if isinstance(coords, (tuple, list)):
+        return coords[0], coords[1], coords[2]
+    return coords[:, 0], coords[:, 1], coords[:, 2]
+
+
 def feature2density(cfg: VMConfig, feat):
     if cfg.fea2dense == "softplus":
         return jax.nn.softplus(feat + cfg.density_shift)
@@ -208,13 +222,14 @@ def compute_density_feature(state: VMState, cfg: VMConfig, coords,
     sampling coordinates (tensoRF.py:233) — pose gradients only flow when
     False (the BAT path).
     """
+    cs = coord_axes(coords)
     if stop_coord_grad:
-        coords = _stop(coords)
+        cs = _stop(cs)
     if cfg.decomposition == "CP":
-        return _cp_feature(state.density_lines, cfg, coords, blur_mats,
+        return _cp_feature(state.density_lines, cfg, cs, blur_mats,
                            act=("density" if cfg.component_wise_feature2density
                                 else None))
-    sigma = jnp.zeros(coords.shape[:-1], dtype=coords.dtype)
+    sigma = jnp.zeros(cs[0].shape, dtype=cs[0].dtype)
     for i in range(3):
         m0, m1 = MAT_MODE[i]
         plane = state.density_planes[i]
@@ -237,20 +252,20 @@ def compute_density_feature(state: VMState, cfg: VMConfig, coords,
         if blur_mats is not None and cfg.convolve_positive_only:
             # the sharp-fallback mixes blurred/sharp per sample — needs the
             # separate p/l path (bateRF.py:83-89)
-            p = sample_plane(plane, coords[:, m0], coords[:, m1])   # [N,R]
-            l = sample_line(line, coords[:, VEC_MODE[i]])           # [N,R]
+            p = sample_plane(plane, cs[m0], cs[m1])                 # [N,R]
+            l = sample_line(line, cs[VEC_MODE[i]])                  # [N,R]
             pos = _stop(l) >= 0
             if cfg.ignore_negative_split:
                 p = p * pos
             else:
-                p_sharp = sample_plane(plane_sharp, coords[:, m0], coords[:, m1])
+                p_sharp = sample_plane(plane_sharp, cs[m0], cs[m1])
                 p = jnp.where(pos, p, p_sharp)
             prod = p * l
         else:
             # fused product with hand-written VJP: one packed gather + one
             # packed scatter per factor instead of XLA's ~6 default row ops
-            prod = sample_planeline_prod(plane, line, coords[:, m0],
-                                         coords[:, m1], coords[:, VEC_MODE[i]])
+            prod = sample_planeline_prod(plane, line, cs[m0], cs[m1],
+                                         cs[VEC_MODE[i]])
         sigma = sigma + jnp.sum(prod, axis=-1)
     return sigma
 
@@ -258,10 +273,11 @@ def compute_density_feature(state: VMState, cfg: VMConfig, coords,
 def compute_app_feature(state: VMState, cfg: VMConfig, coords,
                         blur_mats=None, stop_coord_grad: bool = False):
     """coords: [N,3] normalized -> appearance features [N, app_dim]."""
+    cs = coord_axes(coords)
     if stop_coord_grad:
-        coords = _stop(coords)
+        cs = _stop(cs)
     if cfg.decomposition == "CP":
-        prod = _cp_feature(state.app_lines, cfg, coords, blur_mats,
+        prod = _cp_feature(state.app_lines, cfg, cs, blur_mats,
                            act=None, reduce=False)
         return prod @ state.basis
     feats = []
@@ -274,15 +290,15 @@ def compute_app_feature(state: VMState, cfg: VMConfig, coords,
             plane = blur_ops.blur_plane(plane, blur_mats[plane.shape[0]],
                                         blur_mats[plane.shape[1]])
             line = blur_ops.blur_line(line, blur_mats[line.shape[0]])
-        feats.append(sample_planeline_prod(plane, line, coords[:, m0],
-                                           coords[:, m1],
-                                           coords[:, VEC_MODE[i]]))
+        feats.append(sample_planeline_prod(plane, line, cs[m0], cs[m1],
+                                           cs[VEC_MODE[i]]))
     return jnp.concatenate(feats, axis=-1) @ state.basis       # [N, app_dim]
 
 
 def _cp_feature(lines, cfg: VMConfig, coords, blur_mats, act, reduce=True):
     """CP decomposition: product of three blurred line samples
     (bateRF.py:140-195 / tensoRF.py:366-404)."""
+    cs = coord_axes(coords)
     prod = None
     for i in range(3):
         line = lines[i]
@@ -290,7 +306,7 @@ def _cp_feature(lines, cfg: VMConfig, coords, blur_mats, act, reduce=True):
             line = feature2density(cfg, line)
         if blur_mats is not None:
             line = blur_ops.blur_line(line, blur_mats[line.shape[0]])
-        s = sample_line(line, coords[:, VEC_MODE[i]])
+        s = sample_line(line, cs[VEC_MODE[i]])
         prod = s if prod is None else prod * s
     if reduce:
         return jnp.sum(prod, axis=-1)
@@ -318,10 +334,11 @@ def compute_fused_features(state: VMState, cfg: VMConfig, coords,
     assert cfg.decomposition == "VM"
     assert not (cfg.component_wise_feature2density or cfg.plane_feature2density
                 or cfg.abs_components or cfg.convolve_positive_only)
+    cs = coord_axes(coords)
     if stop_coord_grad:
-        coords = _stop(coords)
+        cs = _stop(cs)
     Rd = cfg.density_n_comp
-    sigma = jnp.zeros(coords.shape[:-1], dtype=coords.dtype)
+    sigma = jnp.zeros(cs[0].shape, dtype=cs[0].dtype)
     app_parts = []
     for i in range(3):
         m0, m1 = MAT_MODE[i]
@@ -340,8 +357,8 @@ def compute_fused_features(state: VMState, cfg: VMConfig, coords,
         line = jnp.concatenate([den_l, app_l], axis=-1)
         # fused product with hand-written VJP: tiny residuals (no remat
         # needed) + single packed row-scatters (sampling.py docstring)
-        prod = sample_planeline_prod(plane, line, coords[:, m0],
-                                     coords[:, m1], coords[:, VEC_MODE[i]])
+        prod = sample_planeline_prod(plane, line, cs[m0], cs[m1],
+                                     cs[VEC_MODE[i]])
         sigma = sigma + jnp.sum(prod[:, :Rd[i]], axis=-1)
         app_parts.append(prod[:, Rd[i]:])
     app = jnp.concatenate(app_parts, axis=-1) @ state.basis

@@ -78,9 +78,13 @@ def sample_packed_grid(G8, coords):
     (both differentiate the same trilinear weights).
     """
     X, Y, Z, _ = G8.shape
-    x0, fx = _floor_frac(_pix(coords[:, 0], X), X)
-    y0, fy = _floor_frac(_pix(coords[:, 1], Y), Y)
-    z0, fz = _floor_frac(_pix(coords[:, 2], Z), Z)
+    if isinstance(coords, (tuple, list)):
+        cx, cy, cz = coords            # per-axis [N] (lane-friendly)
+    else:
+        cx, cy, cz = coords[:, 0], coords[:, 1], coords[:, 2]
+    x0, fx = _floor_frac(_pix(cx, X), X)
+    y0, fy = _floor_frac(_pix(cy, Y), Y)
+    z0, fz = _floor_frac(_pix(cz, Z), Z)
     rows = jnp.take(G8.reshape(X * Y * Z, 8),
                     (x0 * Y + y0) * Z + z0, axis=0)       # [N, 8]
     wx = jnp.stack([1.0 - fx, fx], axis=-1)               # [N, 2]

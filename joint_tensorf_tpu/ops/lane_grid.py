@@ -154,9 +154,13 @@ def sample_lane_grid(G128, coords, Z: int):
     unpacked z extent (static) -> [N].
     """
     X, Y, Zb, _ = G128.shape
-    x0, fx = _floor_frac(_pix(coords[:, 0], X), X)
-    y0, fy = _floor_frac(_pix(coords[:, 1], Y), Y)
-    z0, fz = _floor_frac(_pix(coords[:, 2], Z), Z)
+    if isinstance(coords, (tuple, list)):
+        cx, cy, cz = coords            # per-axis [N] (lane-friendly)
+    else:
+        cx, cy, cz = coords[:, 0], coords[:, 1], coords[:, 2]
+    x0, fx = _floor_frac(_pix(cx, X), X)
+    y0, fy = _floor_frac(_pix(cy, Y), Y)
+    z0, fz = _floor_frac(_pix(cz, Z), Z)
     zb = z0 // ZRUN
     zl = z0 - zb * ZRUN                                # 0..30
 

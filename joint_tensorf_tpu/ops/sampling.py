@@ -240,9 +240,14 @@ def _prod_fwd(plane, line, u, v, w):
     return out, (plane, line, u, v, w)
 
 
-# backward transients ([chunk, 4R] packed updates) are bounded by chunking;
-# at 256k samples x 64ch the per-chunk update is 256 MB
-_PROD_BWD_CHUNK = 1 << 18
+# Backward transients ([chunk, 4R] packed updates) are bounded by chunking.
+# Round-2 profiling (docs/DESIGN_NOTES.md): at N=524k the 2-chunk fori_loop
+# dominated the whole compacted step — slice-start DMAs + loop copies cost
+# ~3x the scatters they fed.  The threshold is therefore set so every
+# production shape (compacted density <=786k, app_k appearance <=131k) runs
+# the unchunked single-scatter branch; the loop remains as an OOM guard for
+# pathological sample counts (transient at the threshold: 1M x 64ch = 256MB).
+_PROD_BWD_CHUNK = 1 << 20
 
 
 def _prod_bwd(res, g):

@@ -96,6 +96,23 @@ def sample_ray(aabb, step_size, n_samples: int, centers, dirs, rng,
 
     Returns (pts [N,S,3], z_vals [N,S], in_bbox [N,S]).
     """
+    axes_w, z_vals, in_bbox = sample_ray_axes(
+        aabb, step_size, n_samples, centers, dirs, rng, near, far,
+        stratified)
+    pts = jnp.stack(axes_w, axis=-1)
+    return pts, z_vals, in_bbox
+
+
+def sample_ray_axes(aabb, step_size, n_samples: int, centers, dirs, rng,
+                    near: float, far: float, stratified: bool):
+    """sample_ray in per-axis form: ((wx, wy, wz) each [N,S], z_vals,
+    in_bbox).
+
+    The hot path never materializes [N,S,3] points: column slices of
+    T(4,128)-laid-out arrays (and their pad-scatter transposes) are
+    lane-starved on TPU and dominated the compacted step profile
+    (docs/DESIGN_NOTES.md round-2).
+    """
     dirs_d = jax.lax.stop_gradient(dirs)
     o_d = jax.lax.stop_gradient(centers)
     vec = jnp.where(dirs_d == 0, 1e-6, dirs_d)
@@ -109,9 +126,14 @@ def sample_ray(aabb, step_size, n_samples: int, centers, dirs, rng,
                                     dtype=centers.dtype)
         steps = steps + jitter
     z_vals = t_min[:, None] + step_size * steps                  # [N,S]
-    pts = centers[:, None, :] + dirs[:, None, :] * z_vals[..., None]
-    in_bbox = jnp.all((pts >= aabb[0]) & (pts <= aabb[1]), axis=-1)
-    return pts, z_vals, in_bbox
+    axes_w = []
+    in_bbox = None
+    for a in range(3):
+        w = centers[:, a, None] + dirs[:, a, None] * z_vals      # [N,S]
+        inb = (w >= aabb[0, a]) & (w <= aabb[1, a])
+        in_bbox = inb if in_bbox is None else (in_bbox & inb)
+        axes_w.append(w)
+    return tuple(axes_w), z_vals, in_bbox
 
 
 def sample_ray_ndc(aabb, n_samples: int, centers, dirs, rng,
@@ -194,6 +216,8 @@ def render_rays(
     stratified = rcfg.is_train and rcfg.stratified
 
     viewdirs = dirs
+    axes_w = None        # per-axis [n,S] world coords (euclid hot path)
+    pts = None
     if rcfg.ndc:
         pts, z_vals, in_bbox = sample_ray_ndc(
             aabb, S, centers, viewdirs, rng_samp, near_far[0], near_far[1],
@@ -208,7 +232,7 @@ def render_rays(
         # step size derives from the (dynamic) aabb and static resolution
         units = aabb_size / (jnp.asarray(resolution, dtype=aabb.dtype) - 1)
         step_size = jnp.mean(units) * cfg.step_ratio
-        pts, z_vals, in_bbox = sample_ray(
+        axes_w, z_vals, in_bbox = sample_ray_axes(
             aabb, step_size, S, centers, viewdirs, rng_samp,
             near_far[0], near_far[1], stratified)
         dists = jnp.concatenate(
@@ -228,7 +252,6 @@ def render_rays(
 
     # ------------------------------------------------------------ density
     valid = in_bbox
-    flat_pts = pts.reshape(-1, 3)
 
     if rcfg.use_alpha_mask and alpha_mask is not None and not blur_active:
         # strided lookup: consecutive samples are ~step_ratio/2 cells apart
@@ -237,12 +260,14 @@ def render_rays(
         # samples stays conservative — and the 2M-row lookup is row-op
         # bound (DESIGN_NOTES), so rows/stride is time/stride.
         stride = rcfg.mask_stride if S % max(rcfg.mask_stride, 1) == 0 else 1
-        if stride > 1:
-            probe = pts[:, ::stride].reshape(-1, 3)
-            a = am_lib.sample_alpha(alpha_mask, probe).reshape(n, S // stride)
-            alphas = jnp.repeat(a, stride, axis=1)
+        if axes_w is not None:
+            probe = tuple(jax.lax.stop_gradient(w[:, ::stride]).reshape(-1)
+                          for w in axes_w)
         else:
-            alphas = am_lib.sample_alpha(alpha_mask, flat_pts).reshape(n, S)
+            probe = tuple(jax.lax.stop_gradient(pts[:, ::stride, a])
+                          .reshape(-1) for a in range(3))
+        a = am_lib.sample_alpha(alpha_mask, probe).reshape(n, S // stride)
+        alphas = jnp.repeat(a, stride, axis=1) if stride > 1 else a
         valid = valid & (alphas > 0)
 
     # ------------------------------------------------- sample compaction
@@ -250,7 +275,7 @@ def render_rays(
     # shapes, march order preserved.  Exact when <= K samples are alive.
     if rcfg.compact_k is not None and rcfg.compact_k < S:
         K = rcfg.compact_k
-        score = valid.astype(pts.dtype)
+        score = valid.astype(z_vals.dtype)
         _, topi = jax.lax.top_k(score, K)                 # [n, K]
         topi = jnp.sort(topi, axis=-1)                    # restore march order
 
@@ -279,11 +304,21 @@ def render_rays(
         dists = packed[..., 1]
         valid = packed[..., 2] > 0.5
         if not rcfg.ndc:
-            pts = centers[:, None, :] + dirs[:, None, :] * z_vals[..., None]
+            # recompute per-axis coords from the compacted z: pose grads
+            # flow through the elementwise o + d*z, not a gather
+            axes_w = tuple(centers[:, a, None] + dirs[:, a, None] * z_vals
+                           for a in range(3))
         S = K
-        flat_pts = pts.reshape(-1, 3)
 
-    coords = vm_lib.normalize_coord(flat_pts, aabb)
+    # normalized sampling coords, per axis (lane-friendly [N] arrays)
+    if axes_w is not None:
+        coords = tuple(
+            ((w - aabb[0, a]) * (2.0 / (aabb[1, a] - aabb[0, a]))
+             - 1.0).reshape(-1) for a, w in enumerate(axes_w))
+        pts = jnp.stack(axes_w, axis=-1)
+    else:
+        flat_pts = pts.reshape(-1, 3)
+        coords = vm_lib.normalize_coord(flat_pts, aabb)
 
     mlp_viewdirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
     if rcfg.detach_viewdirs:
@@ -380,11 +415,16 @@ def render_rays(
             jax.lax.stop_gradient(gate.astype(weight.dtype)), topi2, axis=1)
         if rcfg.ndc:
             pts_sel = jnp.take_along_axis(pts, topi2[..., None], axis=1)
+            coords_sel = vm_lib.normalize_coord(pts_sel.reshape(-1, 3), aabb)
         else:
             z_sel = jnp.take_along_axis(jax.lax.stop_gradient(z_vals),
                                         topi2, axis=1)
-            pts_sel = centers[:, None, :] + dirs[:, None, :] * z_sel[..., None]
-        coords_sel = vm_lib.normalize_coord(pts_sel.reshape(-1, 3), aabb)
+            axes_sel = tuple(centers[:, a, None] + dirs[:, a, None] * z_sel
+                             for a in range(3))
+            pts_sel = jnp.stack(axes_sel, axis=-1)
+            coords_sel = tuple(
+                ((w - aabb[0, a]) * (2.0 / (aabb[1, a] - aabb[0, a]))
+                 - 1.0).reshape(-1) for a, w in enumerate(axes_sel))
         app_feat = vm_lib.compute_app_feature(
             state, cfg, coords_sel, blur_mats=c_mats,
             stop_coord_grad=rcfg.stop_coord_grad)

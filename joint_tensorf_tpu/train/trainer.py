@@ -668,7 +668,11 @@ class Trainer:
 
         mx = int(alive_max(centers, dirs, aabb, self.alpha_mask.grid,
                            self.alpha_mask.aabb))
-        k = min(S, max(64, int(-(-int(mx * pad) // 64) * 64)))
+        # round UP to a multiple of 128: [n_rays, K] puts K on the lane
+        # axis, so K=192 pads to 256 anyway (measured: k192 costs the same
+        # step time as k256, scripts/compact_ablate.py) — take the slack
+        # as extra exactness headroom instead of padding waste
+        k = min(S, max(128, int(-(-int(mx * pad) // 128) * 128)))
         if k >= S:
             return None
         return k

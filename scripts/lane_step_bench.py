@@ -100,12 +100,19 @@ def main():
             densify_impl="packed8", app_k=64)
     measure("dense lane", (300,) * 3, 1000, densify_density=True,
             densify_impl="lane", app_k=64)
-    # compacted phase: factored (current) vs lane-densify
+    # compacted phase: factored (current) vs lane-densify vs fused
     measure("compact factored", (300,) * 3, 1000, use_alpha_mask=True,
             compact_k=256, densify_density=False, app_k=64)
     measure("compact lane-densify", (300,) * 3, 1000, use_alpha_mask=True,
             compact_k=256, densify_density=True, densify_impl="lane",
             app_k=64)
+    # fused density+appearance factored gather over all K samples, dense
+    # shading gated by weight>thres (the pre-app_k fused path): appearance
+    # rides the same row ops as density
+    measure("compact fused no-appk", (300,) * 3, 1000, use_alpha_mask=True,
+            compact_k=256, densify_density=False, app_k=None)
+    measure("compact fused k128", (300,) * 3, 1000, use_alpha_mask=True,
+            compact_k=128, densify_density=False, app_k=None)
 
 
 if __name__ == "__main__":
