@@ -94,7 +94,7 @@ def main():
     app_k = 64
     cfg = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
                      n_samples=n_samples, pose_opt=True, use_pose_noise=True,
-                     densify_density=True, app_k=app_k)
+                     densify_density=True, densify_impl="lane", app_k=app_k)
     step = make_train_step(cfg, vm_cfg, head)
 
     # early-phase variant: the voxel schedule spends iterations 0-9000 at
@@ -103,7 +103,7 @@ def main():
                                aabb, n_views)
     cfg_e = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
                        n_samples=443, pose_opt=True, use_pose_noise=True,
-                       densify_density=True, app_k=app_k)
+                       densify_density=True, densify_impl="lane", app_k=app_k)
     step_e = make_train_step(cfg_e, vm_cfg, head)
 
     # late-phase variant: alpha-mask culling + sample compaction, the regime
