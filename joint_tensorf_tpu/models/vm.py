@@ -433,6 +433,44 @@ def compute_density_grid(state: VMState, cfg: VMConfig, blur_mats=None):
     return G
 
 
+def compute_lane_density_grid(state: VMState, cfg: VMConfig,
+                              blur_mats=None):
+    """Lane-packed density grid [X, Y, Zb, 128] (ops/lane_grid.py).
+
+    VM path builds it DIRECTLY from the (activated, blurred) factors with
+    per-axis blocked einsums — no dense [X,Y,Z] materialization, no pack
+    stream, and autodiff backward is einsum reads of d_G128 plus
+    small-factor folds (tests/test_lane_grid.py pins equality to
+    pack_lane_grid(compute_density_grid(...))).  CP falls back to packing
+    the dense expansion.
+    """
+    from ..ops import lane_grid
+
+    if cfg.decomposition != "VM":
+        return lane_grid.pack_lane_grid(
+            compute_density_grid(state, cfg, blur_mats=blur_mats))
+    planes, lines = [], []
+    for i in range(3):
+        plane = state.density_planes[i]
+        line = state.density_lines[i]
+        if cfg.component_wise_feature2density:
+            plane = feature2density(cfg, plane)
+            line = feature2density(cfg, line)
+        elif cfg.plane_feature2density:
+            plane = feature2density(cfg, plane)
+        elif cfg.abs_components:
+            plane = jnp.abs(plane)
+            line = jnp.abs(line)
+        if blur_mats is not None:
+            plane = blur_ops.blur_plane(plane, blur_mats[plane.shape[0]],
+                                        blur_mats[plane.shape[1]])
+            if not cfg.convolve_plane_only:
+                line = blur_ops.blur_line(line, blur_mats[line.shape[0]])
+        planes.append(plane.astype(jnp.float32))
+        lines.append(line.astype(jnp.float32))
+    return lane_grid.build_lane_grid_vm(planes, lines)
+
+
 # ------------------------------------------------------------- regularizers
 def density_L1(state: VMState):
     """Mean-abs sparsity on density factors (tensoRF.py:212-216 — planes and

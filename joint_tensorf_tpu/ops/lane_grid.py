@@ -135,6 +135,67 @@ def _pack_bwd(shape, dP):
 pack_lane_grid.defvjp(_pack_fwd, _pack_bwd)
 
 
+def _block_z(f, Z: int):
+    """[D, ...] -> [Zb, 32, ...] overlapping z windows (31 + 1 halo),
+    edge-clamp padded.  Operates on FACTORS (KB-MB), so autodiff through
+    the slices is cheap — unlike blocking the dense grid."""
+    Zb = n_blocks(Z)
+    zpad = Zb * ZRUN + 1 - Z
+    if zpad > 0:
+        f = jnp.concatenate([f, jnp.repeat(f[-1:], zpad, axis=0)], axis=0)
+    return jnp.stack([jax.lax.slice_in_dim(f, zb * ZRUN, zb * ZRUN + 32,
+                                           axis=0) for zb in range(Zb)],
+                     axis=0)
+
+
+def build_lane_grid_vm(planes, lines, precision=None):
+    """[X, Y, Zb, 128] lane grid DIRECTLY from VM factors.
+
+    Equivalent to pack_lane_grid(sum_i plane_i (x) line_i) but never
+    materializes the dense [X,Y,Z] grid or streams it through the pack:
+    per axis, the corner shifts / z-blocking are applied to the SMALL
+    factors and one einsum emits the packed layout — and autodiff's
+    transposes are two einsum reads of d_G128 per axis plus small-tensor
+    folds, instead of the big-grid fold + build transpose.
+
+    planes/lines follow models.vm conventions (MAT_MODE/VEC_MODE; any
+    activation/blur already applied): plane i [res[m1], res[m0], R_i],
+    line i [res[vec_i], R_i]; the z (lane-run) axis is axis 2 of the grid.
+    """
+    hi = precision if precision is not None else jax.lax.Precision.HIGHEST
+    # grid extents: X = res[0], Y = res[1], Z = res[2]
+    Y_, X_, _ = planes[0].shape     # plane 0 is [res[1], res[0], R]
+    Z_ = lines[0].shape[0]          # line 0 runs along z = res[2]
+    Zb = n_blocks(Z_)
+
+    # ---- axis 0: P[y, x, r] * L[z, r]; corner shifts live on the plane
+    P = planes[0]
+    Py = _shift(P, 0)               # dy -> plane axis 0 (y)
+    P4 = jnp.stack([P, Py, _shift(P, 1), _shift(Py, 1)], axis=-1)
+    Lb = _block_z(lines[0], Z_)     # [Zb, 32, R]
+    t = jnp.einsum("yxrc,bjr->xybjc", P4, Lb,
+                   precision=hi)    # [X, Y, Zb, 32, 4]
+    G = t.reshape(X_, Y_, Zb, LANES)
+
+    # ---- axis 1: P1[z, x, r] * L1[y, r]; dx on the plane, dy on the line
+    P1 = planes[1]
+    P1b = _block_z(jnp.stack([P1, _shift(P1, 1)], axis=-1), Z_)
+    # P1b: [Zb, 32, X, R, 2(dx)]
+    L1 = lines[1]
+    L1s = jnp.stack([L1, _shift(L1, 0)], axis=-1)    # [Y, R, 2(dy)]
+    t = jnp.einsum("bjxrd,yre->xybjde", P1b, L1s, precision=hi)
+    G = G + t.reshape(X_, Y_, Zb, LANES)
+
+    # ---- axis 2: P2[z, y, r] * L2[x, r]; dy on the plane, dx on the line
+    P2 = planes[2]
+    P2b = _block_z(jnp.stack([P2, _shift(P2, 1)], axis=-1), Z_)
+    # P2b: [Zb, 32, Y, R, 2(dy)]
+    L2 = lines[2]
+    L2s = jnp.stack([L2, _shift(L2, 0)], axis=-1)    # [X, R, 2(dx)]
+    t = jnp.einsum("bjyre,xrd->xybjde", P2b, L2s, precision=hi)
+    return G + t.reshape(X_, Y_, Zb, LANES)
+
+
 def _pix(coord, size: int):
     return jnp.clip((coord + 1.0) * 0.5 * (size - 1), 0.0, size - 1.0)
 

@@ -334,18 +334,19 @@ def render_rays(
     if use_densify:
         # density via the dense rank expansion: MXU einsum build + ONE
         # packed row gather per sample (exact; ops/densify.py docstring)
-        G = vm_lib.compute_density_grid(state, cfg, blur_mats=d_mats)
         dcoords = (jax.lax.stop_gradient(coords) if rcfg.stop_coord_grad
                    else coords)
         if rcfg.densify_impl == "lane":
             from ..ops import lane_grid
 
-            G128 = lane_grid.pack_lane_grid(G)
+            G128 = vm_lib.compute_lane_density_grid(state, cfg,
+                                                    blur_mats=d_mats)
             sigma_feature = lane_grid.sample_lane_grid(G128, dcoords,
-                                                       G.shape[2])
+                                                       resolution[2])
         else:
             from ..ops import densify as densify_ops
 
+            G = vm_lib.compute_density_grid(state, cfg, blur_mats=d_mats)
             G8 = densify_ops.pack_corners(G)
             sigma_feature = densify_ops.sample_packed_grid(G8, dcoords)
         sigma_feature = sigma_feature.reshape(n, S)

@@ -736,8 +736,13 @@ class Trainer:
             densify_density=(bool(self.opt.tpu.get("densify_density", True))
                              and eval_k is None),
             densify_impl=str(self.opt.tpu.get("densify_impl", "packed8")),
-            app_k=(int(self.opt.tpu.app_k)
-                   if self.opt.tpu.get("app_k") else None),
+            # eval renders are exact by default: the app_k cap clips real
+            # contributions on ~25% of rays at converged fields
+            # (eval_clip_stats max_gate ~4x the training cap); training
+            # keeps the cap for speed, evaluation does not unless
+            # tpu.eval_app_k asks for it
+            app_k=(int(self.opt.tpu.eval_app_k)
+                   if self.opt.tpu.get("eval_app_k") else None),
             mask_stride=int(self.opt.tpu.get("mask_stride", 2)))
         render = make_render_fn(cfg, self.vm_cfg, self.head, chunk=chunk,
                                 mesh=self.mesh,
@@ -781,6 +786,9 @@ class Trainer:
                                            jnp.asarray(intr_inv), ray_idx=idx)
         centers = centers.reshape(-1, 3)
         dirs = dirs.reshape(-1, 3)
+        # report clipping against the TRAINING cap (eval renders are dense
+        # by default — render_views app_k); nonzero rates here quantify the
+        # training-time approximation, not the eval render
         app_k = (int(self.opt.tpu.app_k)
                  if self.opt.tpu.get("app_k") else None)
         compact_k = self._probe_compact_k(poses=jnp.asarray(pose),

@@ -68,3 +68,49 @@ def test_small_z_grid():
     got = lane_grid.sample_lane_grid(lane_grid.pack_lane_grid(G), coords, 9)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_direct_vm_build_matches_pack_of_dense_grid():
+    """build_lane_grid_vm(factors) == pack_lane_grid(dense expansion),
+    values and gradients (it must be a drop-in for the hot path)."""
+    import dataclasses
+
+    from joint_tensorf_tpu.models import vm as vm_lib
+    from joint_tensorf_tpu.train.step import init_train_state
+
+    cfg = vm_lib.VMConfig(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8),
+                          app_dim=27, shading_mode="MLP_Fea", hidden=32)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, (17, 23, 66),
+                             [-1, -1, -1, 1, 1, 1], 2).params.field
+
+    def via_pack(planes, lines):
+        st = dataclasses.replace(state, density_planes=list(planes),
+                                 density_lines=list(lines))
+        return lane_grid.pack_lane_grid(
+            vm_lib.compute_density_grid(st, cfg))
+
+    def direct(planes, lines):
+        return lane_grid.build_lane_grid_vm(list(planes), list(lines))
+
+    planes = tuple(state.density_planes)
+    lines = tuple(state.density_lines)
+    ref = via_pack(planes, lines)
+    got = direct(planes, lines)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+    dG = jax.random.normal(jax.random.PRNGKey(1), ref.shape)
+
+    def loss_ref(p, l):
+        return jnp.sum(via_pack(p, l) * dG)
+
+    def loss_new(p, l):
+        return jnp.sum(direct(p, l) * dG)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(planes, lines)
+    gn = jax.grad(loss_new, argnums=(0, 1))(planes, lines)
+    for a, b in zip(jax.tree_util.tree_leaves(gn),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
