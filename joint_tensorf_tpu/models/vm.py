@@ -437,12 +437,12 @@ def compute_lane_density_grid(state: VMState, cfg: VMConfig,
                               blur_mats=None):
     """Lane-packed density grid [X, Y, Zb, 128] (ops/lane_grid.py).
 
-    VM path builds it DIRECTLY from the (activated, blurred) factors with
-    per-axis blocked einsums — no dense [X,Y,Z] materialization, no pack
-    stream, and autodiff backward is einsum reads of d_G128 plus
-    small-factor folds (tests/test_lane_grid.py pins equality to
-    pack_lane_grid(compute_density_grid(...))).  CP falls back to packing
-    the dense expansion.
+    NOT on the hot path: the direct factor->G128 build measured strictly
+    slower in the full step than G-then-pack (see
+    lane_grid.build_lane_grid_vm STATUS); the renderer uses
+    pack_lane_grid(compute_density_grid(...)).  Kept (with
+    tests/test_lane_grid.py exactness pins) as the reference
+    implementation of the direct-build design.
     """
     from ..ops import lane_grid
 

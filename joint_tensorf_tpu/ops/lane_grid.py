@@ -151,6 +151,14 @@ def _block_z(f, Z: int):
 def build_lane_grid_vm(planes, lines, precision=None):
     """[X, Y, Zb, 128] lane grid DIRECTLY from VM factors.
 
+    STATUS: measured DEAD END on v5e (kept as the reference for the design
+    space, like ops/binned_scatter.py): in the full train step this build
+    made the dense phase 218 -> 321 ms — the three per-axis 5-D einsums
+    with tiny R contractions and 460MB outputs neither fuse with each
+    other nor with the consumer, while the G-then-pack path fuses well.
+    Exactness (values + grads) vs pack_lane_grid(dense expansion) is
+    pinned in tests/test_lane_grid.py.
+
     Equivalent to pack_lane_grid(sum_i plane_i (x) line_i) but never
     materializes the dense [X,Y,Z] grid or streams it through the pack:
     per axis, the corner shifts / z-blocking are applied to the SMALL

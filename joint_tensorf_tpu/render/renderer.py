@@ -339,8 +339,13 @@ def render_rays(
         if rcfg.densify_impl == "lane":
             from ..ops import lane_grid
 
-            G128 = vm_lib.compute_lane_density_grid(state, cfg,
-                                                    blur_mats=d_mats)
+            # build dense G (einsums) then pack (custom-VJP fold).  The
+            # direct factor->G128 blocked-einsum build (build_lane_grid_vm)
+            # measured STRICTLY SLOWER in the full step (dense 218->321 ms:
+            # three 5-D small-R einsums with 460MB outputs don't fuse) —
+            # kept in ops/lane_grid.py as a documented dead end.
+            G = vm_lib.compute_density_grid(state, cfg, blur_mats=d_mats)
+            G128 = lane_grid.pack_lane_grid(G)
             sigma_feature = lane_grid.sample_lane_grid(G128, dcoords,
                                                        resolution[2])
         else:
