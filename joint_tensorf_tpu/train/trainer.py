@@ -148,9 +148,11 @@ class Trainer:
         self.lr_pose0 = float(o.get("lr_pose", 0.0) or 0.0)
         sched_pose = o.get("sched_pose")
         self.pose_sched_type = sched_pose.type if sched_pose else None
-        if self.pose_sched_type == "ExponentialLR":
+        if self.pose_sched_type == "ExponentialLR" and self.lr_pose0 > 0:
             self.pose_gamma = (float(o.lr_pose_end) / self.lr_pose0) ** (
                 1.0 / self.max_iter)
+        elif self.pose_sched_type == "ExponentialLR":
+            self.pose_sched_type = None      # lr_pose=0: poses frozen
         self.pose_lambda_schedule = (
             list(sched_pose.lr_pose_schedule)
             if sched_pose and sched_pose.get("lr_pose_schedule") else None)
