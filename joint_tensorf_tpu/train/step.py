@@ -104,6 +104,12 @@ class StepConfig:
     grid_hw: Optional[tuple[int, int]] = None   # all_view_rand_grid TV-depth
     pose_b2: float = 0.999
     scene_b2: float = 0.99
+    # gauge anchor: freeze view 0's se3 refinement (the 3D analogue of the
+    # planar pipeline's warp_param[0]=0 pin, planar.py:87-88).  Forward-
+    # facing captures have near-flat gauge directions that joint
+    # optimization slides along (docs/CONVERGENCE.md NDC diagnosis);
+    # anchoring one view removes the SE(3) part of that family.
+    pin_first_pose: bool = False
     compact_k: Optional[int] = None             # alpha-mask sample compaction
     densify_density: bool = False               # dense-grid density expansion
     densify_impl: str = "packed8"               # "packed8" | "lane" layout
@@ -208,7 +214,10 @@ def make_train_step(cfg: StepConfig, vm_cfg: vm_lib.VMConfig, head,
 
         # ---- pose update (accumulated; where-gated cadence)
         if cfg.pose_opt:
-            accum = state.pose_grad_accum + grads.se3_refine
+            g_se3 = grads.se3_refine
+            if cfg.pin_first_pose:
+                g_se3 = g_se3.at[0].set(0.0)
+            accum = state.pose_grad_accum + g_se3
             new_se3, pose_opt = adam_update(
                 accum, state.pose_opt, state.params.se3_refine, s.lr_pose,
                 b2=cfg.pose_b2)

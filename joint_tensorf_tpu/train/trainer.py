@@ -425,6 +425,8 @@ class Trainer:
             app_k=(int(self.opt.tpu.app_k)
                    if self.opt.tpu.get("app_k") else None),
             mask_stride=int(self.opt.tpu.get("mask_stride", 2)),
+            pin_first_pose=bool(
+                self.opt.train_schedule.get("pin_first_pose", False)),
         )
         if cfg != self._step_cfg:
             self._step_cfg = cfg
