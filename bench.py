@@ -16,6 +16,7 @@ publishes no numbers, BASELINE.md "Quality numbers").
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -25,13 +26,28 @@ import numpy as np
 # bat_blender_VM: 2048 rays/iter; see BENCH_NOTES.md.
 BASELINE_RAYS_PER_SEC = 12000.0
 
+# v5e peak rates for the roofline anchors reported in `detail` (public
+# chip specs): 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_SEC = 819e9
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_LAST_GOOD = os.path.join(_REPO, "docs", "bench", "last_bench.json")
+
 
 def _probe_backend(timeout_s: float = 120.0) -> bool:
     """True if the accelerator answers a trivial op within timeout.
 
     The axon TPU tunnel can die mid-session (its relay's stdio peer is
     external); when it does, device ops hang or raise UNAVAILABLE.  Probe in
-    a daemon thread so a hung backend can't wedge the whole benchmark."""
+    a daemon thread so a hung backend can't wedge the whole benchmark.
+
+    NOTE a subprocess probe does NOT work here: the axon sitecustomize
+    registers a relay session in EVERY python interpreter (including this
+    one), and a nested python child hangs at backend init behind its
+    parent's registration (measured: bash->python probes answer in ~15 s,
+    python->python probes hang past 180 s).  Retries therefore re-exec this
+    process instead (see _retry_or_emit_stale)."""
     import threading
 
     ok = [False]
@@ -49,19 +65,57 @@ def _probe_backend(timeout_s: float = 120.0) -> bool:
     return ok[0]
 
 
+# Retry-with-backoff across ~13 minutes: BENCH_r02.json recorded literally
+# zero because the tunnel happened to be down at the single capture instant;
+# the round window is hours, so a transient blip must not erase the round's
+# perf evidence.  Each retry sleeps, then REPLACES this process via execve —
+# a fresh interpreter with no poisoned/hung backend state (hung probe
+# threads die with the old image).
+_RETRY_DELAYS = [15, 30, 60, 120, 180, 180, 180]
+
+
+def _retry_or_emit_stale():
+    attempt = int(os.environ.get("JTF_BENCH_ATTEMPT", "0"))
+    if attempt < len(_RETRY_DELAYS):
+        d = _RETRY_DELAYS[attempt]
+        print(f"[bench] backend down; retry {attempt + 1}/"
+              f"{len(_RETRY_DELAYS)} in {d}s (re-exec)", file=sys.stderr)
+        time.sleep(d)
+        env = dict(os.environ, JTF_BENCH_ATTEMPT=str(attempt + 1))
+        sys.stderr.flush()
+        sys.stdout.flush()
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
+    _emit_unavailable()
+
+
+def _emit_unavailable():
+    """Tunnel stayed down: emit the last in-session measurement, marked
+    stale, instead of a zero that erases the round's perf evidence."""
+    try:
+        with open(_LAST_GOOD) as f:
+            last = json.load(f)
+        last["stale"] = True
+        last["note"] = ("accelerator backend unavailable after retries "
+                        "(tunnel down); value is the most recent successful "
+                        "in-session measurement, captured at "
+                        f"{last.get('captured_at', 'unknown')}")
+        print(json.dumps(last))
+    except Exception:
+        print(json.dumps({
+            "metric": "rays_per_sec_train", "value": 0, "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "note": "accelerator backend unavailable (tunnel down?) and no "
+                    "recorded last-good measurement; see BENCH_NOTES.md"}))
+    os._exit(0)
+
+
 def main():
     from joint_tensorf_tpu.utils import setup_jax
     setup_jax()
 
     if not _probe_backend():
-        print(json.dumps({
-            "metric": "rays_per_sec_train", "value": 0, "unit": "rays/s",
-            "vs_baseline": 0.0,
-            "note": "accelerator backend unavailable (tunnel down?) — "
-                    "probe op did not complete; see BENCH_NOTES.md for the "
-                    "last measured numbers"}))
-        import os
-        os._exit(0)
+        _retry_or_emit_stale()
 
     import jax
     import jax.numpy as jnp
@@ -201,13 +255,40 @@ def main():
     t_compact = m_compact["median_s"]
     print(f"[bench] compact {t_compact*1000:.1f} ms", file=sys.stderr)
 
+    # Roofline anchors: XLA's own cost model for the compacted step (the
+    # binding phase), against v5e peak MXU and HBM rates.  `bytes accessed`
+    # counts every buffer touch XLA schedules (an upper bound on unique HBM
+    # traffic), so hbm_util is approximate — but it anchors the throughput
+    # number to hardware limits instead of the estimated CUDA divisor
+    # (VERDICT round-2 "no MFU or roofline number exists").
+    roofline = {}
+    try:
+        idx0 = jnp.asarray(np.arange(rays_per_view, dtype=np.int64))
+        lowered = step_c.lower(state, pose_base, intr, intr_inv, images,
+                               edges, view_sel, idx0, jax.random.PRNGKey(0),
+                               s, alpha_mask)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        roofline = {
+            "flops_per_step": flops,
+            "bytes_accessed_per_step": byts,
+            "mfu_bf16_peak": round(flops / t_compact / V5E_PEAK_BF16_FLOPS, 5),
+            "hbm_util": round(byts / t_compact / V5E_HBM_BYTES_PER_SEC, 4),
+        }
+        print(f"[bench] compacted roofline: {roofline}", file=sys.stderr)
+    except Exception as e:  # cost model API drift must not kill the bench
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+
     # schedule-weighted over the bat_blender_VM phases: iterations 0-9000
     # grow 64^3 -> 400^3 (modeled at 128^3/443 samples), 9000-12000 run
     # dense at full resolution, 12000-40000 run with the alpha mask
     # (compacted).
     t_mix = 0.225 * t_early + 0.075 * t_dense + 0.7 * t_compact
     rays_per_sec = n_rays / t_mix
-    print(json.dumps({
+    result = {
         "metric": "rays_per_sec_train",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
@@ -224,8 +305,18 @@ def main():
                                      round(m_compact["max_s"] * 1000, 1)]},
                    "median_of": m_compact["reps"],
                    "compact_k": compact_k, "n_rays": n_rays,
-                   "n_samples": n_samples},
-    }))
+                   "n_samples": n_samples,
+                   "roofline_compacted": roofline},
+    }
+    # persist as the stale-fallback for tunnel-down captures (_emit_unavailable)
+    try:
+        os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
+        with open(_LAST_GOOD, "w") as f:
+            json.dump(dict(result, captured_at=time.strftime(
+                "%Y-%m-%dT%H:%M:%S%z")), f, indent=1)
+    except Exception as e:
+        print(f"[bench] could not persist last-good: {e}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -686,17 +686,28 @@ class Trainer:
         """Run the training loop up to max_iter."""
         end = self.max_iter if max_iter is None else max_iter
         t0 = time.time()
+        pending: list[tuple[int, dict]] = []   # device-side metric window
         while self.it < end:
             metrics = self.train_iteration()
             self._update_schedule()
+            # Latch every iteration's device metrics without a host sync
+            # (per-iter syncs would serialize the pipelined dispatch);
+            # the whole window transfers in ONE device_get at the next log
+            # point, where EVERY key of EVERY pending iteration is
+            # finiteness-checked — a mid-window NaN surfaces with its exact
+            # iteration instead of burning up to log_every iterations
+            # undetected (reference asserts per-iteration, base.py:183-184).
+            pending.append((self.it, metrics))
             if self.it % log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                # NaN/Inf guard (reference base.py:183-184, tensorf.py:43-44)
-                # checked at log points: per-iter host syncs would serialize
-                # the pipelined dispatch on TPU.
-                if not math.isfinite(m.get("loss", 0.0)):
-                    raise FloatingPointError(
-                        f"non-finite loss {m['loss']} at it {self.it}")
+                window = jax.device_get([mm for _, mm in pending])
+                for (it_i, _), vals in zip(pending, window):
+                    for key, val in vals.items():
+                        if not math.isfinite(float(val)):
+                            raise FloatingPointError(
+                                f"non-finite {key}={float(val)} at it {it_i} "
+                                f"(detected at log point it {self.it})")
+                m = {k: float(v) for k, v in window[-1].items()}
+                pending.clear()
                 m.update(it=self.it, wall=time.time() - t0,
                          lr_index=self.lr_index, lr_pose=self._lr_pose())
                 self.metrics_history.append(m)

@@ -9,7 +9,7 @@
 #   E6 = E5 + sustained 4096-ray batches (no drop to 2048 at it 400):
 #        2x lower pose-gradient noise -> slower random walk along the
 #        residual (non-SE3) flat directions
-set -x
+set -xeo pipefail
 cd "$(dirname "$0")/.."
 COMMON="--yaml=configs/bat_synthetic_llff.yaml --max_iter=1500 \
   --train_schedule.upsample_iters=[400,700] \

@@ -54,16 +54,24 @@ def main():
                        .astype(jnp.int32), axis=1)
         return jnp.minimum(topi, S - 1)
 
-    # correctness: compare on rows where n_valid >= K is false anyway;
-    # only the first min(K, n_valid) slots are meaningful
+    # correctness: only the genuinely-VALID selections are contract-relevant.
+    # With binary scores and n_valid < K, lax.top_k's zero-score picks
+    # tie-break toward LOW indices, so after the march-order sort those
+    # invalid padding indices interleave BEFORE the valid ones — an
+    # elementwise prefix compare would print match=False for equivalent
+    # implementations.  Compare the valid subsequence of the top_k result
+    # against the first min(K, n_valid) searchsorted/countmat entries
+    # (which are valid by construction).
     a, b, c = np.asarray(f_topk(valid)), np.asarray(f_search(valid)), \
         np.asarray(f_count(valid))
-    nv = np.asarray(jnp.sum(valid, -1))
+    v_np = np.asarray(valid)
+    nv = v_np.sum(-1)
     ok_sb = ok_cb = True
     for i in range(n):
         m = min(K, int(nv[i]))
-        ok_sb &= bool((a[i, :m] == b[i, :m]).all())
-        ok_cb &= bool((a[i, :m] == c[i, :m]).all())
+        a_valid = a[i][v_np[i, a[i]]][:m]
+        ok_sb &= bool((a_valid == b[i, :m]).all())
+        ok_cb &= bool((a_valid == c[i, :m]).all())
     print(f"match searchsorted={ok_sb} countmat={ok_cb}")
 
     for name, f in [("topk", f_topk), ("searchso", f_search),
