@@ -236,7 +236,12 @@ def sample_planeline_prod(plane, line, u, v, w):
 
 
 def _prod_fwd(plane, line, u, v, w):
-    out = sample_plane(plane, u, v) * sample_line(line, w)
+    # Packed single-row gathers: the 4 corner + 2 line takes cost one row op
+    # each here instead of six narrow ones (round-3 profile: the narrow
+    # forward takes were ~17 ms of the compacted step — row ops, not bytes,
+    # are what gathers pay for).  The pack_plane/pack_line builds are CSE'd
+    # with the backward's identical packs inside one jit.
+    out = sample_plane_packed(plane, u, v) * sample_line_packed(line, w)
     return out, (plane, line, u, v, w)
 
 
@@ -248,6 +253,25 @@ def _prod_fwd(plane, line, u, v, w):
 # the unchunked single-scatter branch; the loop remains as an OOM guard for
 # pathological sample counts (transient at the threshold: 1M x 64ch = 256MB).
 _PROD_BWD_CHUNK = 1 << 20
+
+
+def _scatter_rows_matmul(idx, updates, n_rows: int):
+    """Row scatter-add with a TINY destination, as one MXU matmul.
+
+    zeros([n_rows, C]).at[idx].add(updates) for n_rows ~ a few hundred
+    (the VM line factors): XLA's scatter pays ~45 ns per update ROW
+    regardless of destination size (round-3 profile: 3.7 ms per 524k-row
+    line scatter), while onehot(idx)^T @ updates is one [N, n_rows] f32
+    materialization + a small-N-contraction matmul (~2 ms).  f32 one-hot
+    keeps the products exact; only the summation order differs from the
+    scatter.
+    """
+    N = idx.shape[0]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (N, n_rows), 1)
+              == idx[:, None]).astype(updates.dtype)
+    return jax.lax.dot_general(
+        onehot, updates, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(updates.dtype)
 
 
 def _prod_bwd(res, g):
@@ -300,7 +324,7 @@ def _prod_bwd(res, g):
     if n_chunks == 1:
         idx, g4, i0, g2, d_u, d_v, d_w = chunk_grads(up, vp, wp, gpad)
         d_pk = jnp.zeros((H * W, 4 * R), g.dtype).at[idx].add(g4)
-        d_lk = jnp.zeros((D, 2 * R), g.dtype).at[i0].add(g2)
+        d_lk = _scatter_rows_matmul(i0, g2, D)
     else:
         def body(i, carry):
             d_pk, d_lk, d_u, d_v, d_w = carry

@@ -96,7 +96,7 @@ def sample_ray(aabb, step_size, n_samples: int, centers, dirs, rng,
 
     Returns (pts [N,S,3], z_vals [N,S], in_bbox [N,S]).
     """
-    axes_w, z_vals, in_bbox = sample_ray_axes(
+    axes_w, z_vals, in_bbox, _ = sample_ray_axes(
         aabb, step_size, n_samples, centers, dirs, rng, near, far,
         stratified)
     pts = jnp.stack(axes_w, axis=-1)
@@ -106,7 +106,11 @@ def sample_ray(aabb, step_size, n_samples: int, centers, dirs, rng,
 def sample_ray_axes(aabb, step_size, n_samples: int, centers, dirs, rng,
                     near: float, far: float, stratified: bool):
     """sample_ray in per-axis form: ((wx, wy, wz) each [N,S], z_vals,
-    in_bbox).
+    in_bbox, (t_min [N], jitter [N,1])).
+
+    The (t_min, jitter) tail lets the compaction path recompute z values of
+    selected samples elementwise (z = t_min + step*(index + jitter)) instead
+    of row-gathering them (docs/DESIGN_NOTES round-3).
 
     The hot path never materializes [N,S,3] points: column slices of
     T(4,128)-laid-out arrays (and their pad-scatter transposes) are
@@ -125,6 +129,8 @@ def sample_ray_axes(aabb, step_size, n_samples: int, centers, dirs, rng,
         jitter = jax.random.uniform(rng, (centers.shape[0], 1),
                                     dtype=centers.dtype)
         steps = steps + jitter
+    else:
+        jitter = jnp.zeros((centers.shape[0], 1), dtype=centers.dtype)
     z_vals = t_min[:, None] + step_size * steps                  # [N,S]
     axes_w = []
     in_bbox = None
@@ -133,7 +139,7 @@ def sample_ray_axes(aabb, step_size, n_samples: int, centers, dirs, rng,
         inb = (w >= aabb[0, a]) & (w <= aabb[1, a])
         in_bbox = inb if in_bbox is None else (in_bbox & inb)
         axes_w.append(w)
-    return tuple(axes_w), z_vals, in_bbox
+    return tuple(axes_w), z_vals, in_bbox, (t_min, jitter)
 
 
 def sample_ray_ndc(aabb, n_samples: int, centers, dirs, rng,
@@ -232,7 +238,7 @@ def render_rays(
         # step size derives from the (dynamic) aabb and static resolution
         units = aabb_size / (jnp.asarray(resolution, dtype=aabb.dtype) - 1)
         step_size = jnp.mean(units) * cfg.step_ratio
-        axes_w, z_vals, in_bbox = sample_ray_axes(
+        axes_w, z_vals, in_bbox, (t_min, jitter) = sample_ray_axes(
             aabb, step_size, S, centers, viewdirs, rng_samp,
             near_far[0], near_far[1], stratified)
         dists = jnp.concatenate(
@@ -275,35 +281,56 @@ def render_rays(
     # shapes, march order preserved.  Exact when <= K samples are alive.
     if rcfg.compact_k is not None and rcfg.compact_k < S:
         K = rcfg.compact_k
-        score = valid.astype(z_vals.dtype)
-        _, topi = jax.lax.top_k(score, K)                 # [n, K]
-        topi = jnp.sort(topi, axis=-1)                    # restore march order
-
-        # One packed multi-channel row gather instead of four narrow ones
-        # (row-op bound; docs/DESIGN_NOTES.md — the separate z/dists/valid/
-        # pts takes were ~40% of the compacted step).  z, dists and valid
-        # carry no parameter gradient (z is a function of the stratified
-        # jitter and the lr-0 aabb only), so the gather sits outside the
-        # autodiff path entirely; in the euclidean path pts is then
-        # recomputed from the compacted z, so the pose gradient flows
-        # through the elementwise o + d*z instead of a gather.
-        fv = valid.astype(z_vals.dtype)
         if rcfg.ndc:
+            # NDC path: march-order selection via one top_k on a composite
+            # integer score (valid samples first, each group in march
+            # order) — no post-sort needed, because top_k returns indices
+            # in descending-score order, which this score makes equal to
+            # march order.  Fillers (when < K samples are alive) land at
+            # the END and are zeroed by the rank test below.
+            i_idx = jax.lax.broadcasted_iota(jnp.int32, valid.shape, 1)
+            score = jnp.where(valid, 2 * S - i_idx, S - i_idx)
+            _, topi = jax.lax.top_k(score, K)             # [n, K] march order
             # pts is NOT o + d*z_vals here (simulate_euclid flags), so pts
-            # rides the same gather; its VJP is one packed row scatter.
+            # rides a packed gather; its VJP is one packed row scatter.
             packed = jnp.concatenate(
                 [jax.lax.stop_gradient(
-                    jnp.stack([z_vals, dists, fv], axis=-1)), pts], axis=-1)
+                    jnp.stack([z_vals, dists], axis=-1)), pts], axis=-1)
             packed = jnp.take_along_axis(packed, topi[..., None], axis=1)
-            pts = packed[..., 3:6]
+            pts = packed[..., 2:5]
+            z_vals = packed[..., 0]
+            dists = packed[..., 1]
+            n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)   # [n]
+            rank = jax.lax.broadcasted_iota(jnp.int32, (valid.shape[0], K), 1)
+            valid = rank < n_valid[:, None]
         else:
-            packed = jax.lax.stop_gradient(
-                jnp.stack([z_vals, dists, fv, fv], axis=-1))
-            packed = jnp.take_along_axis(packed, topi[..., None], axis=1)
-        z_vals = packed[..., 0]
-        dists = packed[..., 1]
-        valid = packed[..., 2] > 0.5
-        if not rcfg.ndc:
+            # Euclid hot path: NOTHING is gathered.  One top_k on the
+            # composite score selects the first K valid samples in march
+            # order; z, dists, validity and the per-axis coords are all
+            # recomputed elementwise from the selected indices:
+            #   z     = t_min + step*(index + jitter)      (exact)
+            #   dists = step (every pre-compaction dist is step_size,
+            #           except the final sample's 0 — reproduced from the
+            #           index test)
+            #   valid = slot_rank < n_valid (top_k fills missing slots
+            #           with the lowest-index INVALID samples, which the
+            #           score places after every valid one)
+            # This replaced a [n*K, 4]-channel packed row gather plus a
+            # [n, K] sort (docs/DESIGN_NOTES round-3: ~7 ms of the
+            # compacted step).
+            i_idx = jax.lax.broadcasted_iota(jnp.int32, valid.shape, 1)
+            score = jnp.where(valid, 2 * S - i_idx, S - i_idx)
+            _, topi = jax.lax.top_k(score, K)             # [n, K] march order
+            n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)   # [n]
+            rank = jax.lax.broadcasted_iota(jnp.int32, (valid.shape[0], K), 1)
+            new_valid = rank < n_valid[:, None]
+            z_vals = jax.lax.stop_gradient(
+                t_min[:, None] + step_size * (topi.astype(centers.dtype)
+                                              + jitter))
+            dists = jnp.where(topi == S - 1, 0.0,
+                              jnp.broadcast_to(step_size, z_vals.shape)
+                              ).astype(z_vals.dtype)
+            valid = new_valid
             # recompute per-axis coords from the compacted z: pose grads
             # flow through the elementwise o + d*z, not a gather
             axes_w = tuple(centers[:, a, None] + dirs[:, a, None] * z_vals
@@ -417,14 +444,19 @@ def render_rays(
         _, topi2 = jax.lax.top_k(score, K2)                    # [n, K2]
         topi2 = jnp.sort(topi2, axis=-1)
         w_sel = jnp.take_along_axis(weight, topi2, axis=1)     # diff gather
-        gate_sel = jnp.take_along_axis(
-            jax.lax.stop_gradient(gate.astype(weight.dtype)), topi2, axis=1)
         if rcfg.ndc:
+            gate_sel = jnp.take_along_axis(
+                jax.lax.stop_gradient(gate.astype(weight.dtype)),
+                topi2, axis=1)
             pts_sel = jnp.take_along_axis(pts, topi2[..., None], axis=1)
             coords_sel = vm_lib.normalize_coord(pts_sel.reshape(-1, 3), aabb)
         else:
-            z_sel = jnp.take_along_axis(jax.lax.stop_gradient(z_vals),
-                                        topi2, axis=1)
+            # one packed (z, gate) row take instead of two narrow ones
+            zg = jax.lax.stop_gradient(
+                jnp.stack([z_vals, gate.astype(weight.dtype)], axis=-1))
+            zg_sel = jnp.take_along_axis(zg, topi2[..., None], axis=1)
+            z_sel = zg_sel[..., 0]
+            gate_sel = zg_sel[..., 1]
             axes_sel = tuple(centers[:, a, None] + dirs[:, a, None] * z_sel
                              for a in range(3))
             pts_sel = jnp.stack(axes_sel, axis=-1)

@@ -181,8 +181,12 @@ def make_train_step(cfg: StepConfig, vm_cfg: vm_lib.VMConfig, head,
             fea_pe_progress=s.fea_pe_progress,
         )
         rgb = rgb.reshape(B, R, 3)
-        target = jnp.take(images[view_sel], ray_idx, axis=1)       # [B,R,3]
-        mask = jnp.take(edge_masks[view_sel], ray_idx, axis=1)     # [B,R]
+        # take the (small) ray subset FIRST: images[view_sel] as the outer
+        # index materializes a full [V, H*W, 3] gather copy per step
+        # (~190 MB; round-3 profile copy.1903) even when view_sel is the
+        # identity.  ray_idx-first makes the big gather [V, R, 3].
+        target = jnp.take(images, ray_idx, axis=1)[view_sel]       # [B,R,3]
+        mask = jnp.take(edge_masks, ray_idx, axis=1)[view_sel]     # [B,R]
 
         render_loss = losses.edge_weighted_render_loss(
             rgb, target, mask, s.edge_factor, s.non_edge_factor, s.use_edge)
