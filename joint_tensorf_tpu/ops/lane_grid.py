@@ -135,6 +135,63 @@ def _pack_bwd(shape, dP):
 pack_lane_grid.defvjp(_pack_fwd, _pack_bwd)
 
 
+def unpack_lane_grid_T(shape, dP):
+    """Transpose of pack_lane_grid, rewritten at streaming speed (round 3).
+
+    Same math as _pack_bwd (pinned against it in tests/test_lane_grid.py),
+    restructured so every big intermediate is a full-lane stream:
+
+      1. ONE [.,128]@[128,128] permutation matmul reorders lanes from
+         (j*4 + c) to (c*32 + j) — reading the 460 MB input once instead of
+         once per corner;
+      2. the block overlap-add becomes a Zb-axis shift + concat (no strided
+         .at[::31] updates, which materialized full-grid copies);
+      3. the z un-pad and corner shift transposes are plain pad/slice adds
+         XLA fuses into one output pass.
+
+    Measured vs _pack_bwd at 300^3 in scripts/lane_fold_bench.py.
+    """
+    X, Y, Z = shape
+    Zb = n_blocks(Z)
+    Zpad = Zb * ZRUN + 1
+    flat = dP.reshape(X * Y * Zb, LANES)
+    hi = jax.lax.Precision.HIGHEST
+
+    # lane permutation (j*4 + c) -> (c*32 + j) via MXU
+    j = jnp.arange(32)
+    c = jnp.arange(4)
+    src = (j[None, :] * 4 + c[:, None]).reshape(-1)        # dst lane c*32+j
+    M = jnp.zeros((LANES, LANES), dP.dtype).at[
+        src, jnp.arange(LANES)].set(1.0)
+    F = jax.lax.dot_general(flat, M, (((1,), (0,)), ((), ())),
+                            precision=hi).reshape(X, Y, Zb, 4, 32)
+
+    d_g4 = []
+    for ci in range(4):
+        Fc = F[:, :, :, ci, :]                             # [X, Y, Zb, 32]
+        core = Fc[..., :ZRUN]                              # [X, Y, Zb, 31]
+        halo = Fc[..., ZRUN]                               # [X, Y, Zb]
+        # halo of block b lands at z = (b+1)*31 = block b+1's j=0 slot
+        hp = jnp.concatenate(
+            [jnp.zeros((X, Y, 1), dP.dtype), halo[:, :, :-1]], axis=2)
+        core = jnp.concatenate(
+            [(core[..., 0] + hp)[..., None], core[..., 1:]], axis=-1)
+        dzp = jnp.concatenate(
+            [core.reshape(X, Y, Zb * ZRUN), halo[:, :, -1:]], axis=2)
+        # un-pad: clamped tail rows (z >= Z) fold onto the last real cell
+        if Zpad > Z:
+            main = dzp[:, :, :Z]
+            main = main.at[:, :, -1].add(jnp.sum(dzp[:, :, Z:], axis=2))
+            dzp = main
+        d_g4.append(dzp)
+
+    dG = d_g4[0]
+    dG = dG + _unshift_T(d_g4[1], 1)
+    dG = dG + _unshift_T(d_g4[2], 0)
+    dG = dG + _unshift_T(_unshift_T(d_g4[3], 1), 0)
+    return dG
+
+
 def _block_z(f, Z: int):
     """[D, ...] -> [Zb, 32, ...] overlapping z windows (31 + 1 halo),
     edge-clamp padded.  Operates on FACTORS (KB-MB), so autodiff through

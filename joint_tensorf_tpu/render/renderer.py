@@ -46,7 +46,7 @@ class RenderConfig:
     use_alpha_mask: bool = False
     # probe the alpha mask once per `mask_stride` samples along each ray
     # (see the strided-lookup comment in render_rays; 1 = per-sample)
-    mask_stride: int = 2
+    mask_stride: int = 4
     mlp_predict_density: bool = False
     # rematerialize the shading MLP in the backward pass: its activations at
     # n_rays x n_samples resolution dominate peak HBM (jax.checkpoint trades
@@ -259,12 +259,18 @@ def render_rays(
     # ------------------------------------------------------------ density
     valid = in_bbox
 
+    group_alpha = None     # [n, S//stride] bool, for group-level compaction
+    use_group = False
+    stride = 1
     if rcfg.use_alpha_mask and alpha_mask is not None and not blur_active:
-        # strided lookup: consecutive samples are ~step_ratio/2 cells apart
+        # strided lookup: consecutive samples are ~step_ratio/2 grid cells
+        # (~0.27 mask cells at the usual mask:grid resolution ratio) apart
         # while the mask's maxpool(5) build dilates the alive set by ~2
-        # cells (alpha_mask.update_alpha_mask), so one probe per `stride`
-        # samples stays conservative — and the 2M-row lookup is row-op
-        # bound (DESIGN_NOTES), so rows/stride is time/stride.
+        # mask cells (alpha_mask.update_alpha_mask), so one probe per
+        # `stride` samples stays conservative: the worst-case probe offset
+        # is (stride-1)*0.27 ≈ 0.8 mask cells at stride 4 — and the 2M-row
+        # lookup is row-op bound (DESIGN_NOTES), so rows/stride is
+        # time/stride.
         stride = rcfg.mask_stride if S % max(rcfg.mask_stride, 1) == 0 else 1
         if axes_w is not None:
             probe = tuple(jax.lax.stop_gradient(w[:, ::stride]).reshape(-1)
@@ -273,8 +279,16 @@ def render_rays(
             probe = tuple(jax.lax.stop_gradient(pts[:, ::stride, a])
                           .reshape(-1) for a in range(3))
         a = am_lib.sample_alpha(alpha_mask, probe).reshape(n, S // stride)
-        alphas = jnp.repeat(a, stride, axis=1) if stride > 1 else a
-        valid = valid & (alphas > 0)
+        group_alpha = a > 0
+        # group-level compaction (below) never materializes the per-sample
+        # repeat; the dense masked path still needs it
+        use_group = (rcfg.compact_k is not None and not rcfg.ndc
+                     and stride > 1 and rcfg.compact_k % stride == 0
+                     and rcfg.compact_k < S)
+        if not use_group:
+            alphas = (jnp.repeat(group_alpha, stride, axis=1)
+                      if stride > 1 else group_alpha)
+            valid = valid & alphas
 
     # ------------------------------------------------- sample compaction
     # Keep only K samples per ray (the ones surviving the masks) — static
@@ -303,6 +317,42 @@ def render_rays(
             n_valid = jnp.sum(valid.astype(jnp.int32), axis=-1)   # [n]
             rank = jax.lax.broadcasted_iota(jnp.int32, (valid.shape[0], K), 1)
             valid = rank < n_valid[:, None]
+        elif use_group:
+            # Group-level selection: pick the first K/stride PROBE GROUPS
+            # (stride consecutive samples sharing one alpha probe) that are
+            # alive, then expand — the top_k runs on [n, S/stride] instead
+            # of [n, S] (it was ~7 ms of the compacted step at S=1000).
+            # Exact when <= K/stride groups are alive per ray, which the
+            # trainer's compact-K probe measures at group granularity.
+            # Per-sample validity is reconstructed elementwise: group rank
+            # < n_alive_groups (selection+alpha), AND the recomputed
+            # in-bbox test of each expanded sample.
+            g = stride
+            G = S // g
+            Kg = K // g
+            ginb = jnp.any(in_bbox.reshape(n, G, g), axis=-1)
+            gvalid = group_alpha & ginb                            # [n, G]
+            gi = jax.lax.broadcasted_iota(jnp.int32, gvalid.shape, 1)
+            gscore = jnp.where(gvalid, 2 * G - gi, G - gi)
+            _, topg = jax.lax.top_k(gscore, Kg)          # [n, Kg] march order
+            n_vg = jnp.sum(gvalid.astype(jnp.int32), axis=-1)
+            grank = jax.lax.broadcasted_iota(jnp.int32, (n, Kg), 1)
+            gsel = grank < n_vg[:, None]                           # [n, Kg]
+            topi = (topg[..., None] * g
+                    + jnp.arange(g, dtype=jnp.int32)).reshape(n, K)
+            z_vals = jax.lax.stop_gradient(
+                t_min[:, None] + step_size * (topi.astype(centers.dtype)
+                                              + jitter))
+            dists = jnp.where(topi == S - 1, 0.0,
+                              jnp.broadcast_to(step_size, z_vals.shape)
+                              ).astype(z_vals.dtype)
+            axes_w = tuple(centers[:, a, None] + dirs[:, a, None] * z_vals
+                           for a in range(3))
+            inb_sel = None
+            for a, w in enumerate(axes_w):
+                ok = (w >= aabb[0, a]) & (w <= aabb[1, a])
+                inb_sel = ok if inb_sel is None else (inb_sel & ok)
+            valid = jnp.repeat(gsel, g, axis=1) & inb_sel
         else:
             # Euclid hot path: NOTHING is gathered.  One top_k on the
             # composite score selects the first K valid samples in march

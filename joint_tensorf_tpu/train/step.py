@@ -114,7 +114,7 @@ class StepConfig:
     densify_density: bool = False               # dense-grid density expansion
     densify_impl: str = "packed8"               # "packed8" | "lane" layout
     app_k: Optional[int] = None                 # two-stage appearance top-K2
-    mask_stride: int = 2                        # alpha-probe stride (renderer)
+    mask_stride: int = 4                        # alpha-probe stride (renderer)
 
     def render_config(self, is_train: bool) -> RenderConfig:
         return RenderConfig(

@@ -424,7 +424,7 @@ class Trainer:
             densify_impl=str(self.opt.tpu.get("densify_impl", "packed8")),
             app_k=(int(self.opt.tpu.app_k)
                    if self.opt.tpu.get("app_k") else None),
-            mask_stride=int(self.opt.tpu.get("mask_stride", 2)),
+            mask_stride=int(self.opt.tpu.get("mask_stride", 4)),
             pin_first_pose=bool(
                 self.opt.train_schedule.get("pin_first_pose", False)),
         )
@@ -656,6 +656,14 @@ class Trainer:
         centers = centers.reshape(-1, 3)
         dirs = dirs.reshape(-1, 3)
 
+        # the renderer selects at PROBE-GROUP granularity (`stride`
+        # consecutive samples share one alpha probe, renderer.py use_group),
+        # so the K budget must cover alive GROUPS x stride, not alive
+        # samples — a ray with many isolated alive runs needs more slots
+        # than its raw alive count.
+        stride = int(self.opt.tpu.get("mask_stride", 4))
+        g = stride if (stride > 1 and S % stride == 0) else 1
+
         @jax.jit
         def alive_max(centers, dirs, aabb, mask_grid, mask_aabb):
             units = (aabb[1] - aabb[0]) / (
@@ -668,6 +676,10 @@ class Trainer:
             a = sample_alpha(AM(grid=mask_grid, aabb=mask_aabb),
                              pts.reshape(-1, 3)).reshape(pts.shape[:2])
             alive = in_bbox & (a > 0)
+            if g > 1:
+                galive = jnp.any(alive.reshape(alive.shape[0], S // g, g),
+                                 axis=-1)
+                return jnp.max(jnp.sum(galive, axis=-1)) * g
             return jnp.max(jnp.sum(alive, axis=-1))
 
         mx = int(alive_max(centers, dirs, aabb, self.alpha_mask.grid,
@@ -758,7 +770,7 @@ class Trainer:
             # tpu.eval_app_k asks for it
             app_k=(int(self.opt.tpu.eval_app_k)
                    if self.opt.tpu.get("eval_app_k") else None),
-            mask_stride=int(self.opt.tpu.get("mask_stride", 2)))
+            mask_stride=int(self.opt.tpu.get("mask_stride", 4)))
         render = make_render_fn(cfg, self.vm_cfg, self.head, chunk=chunk,
                                 mesh=self.mesh,
                                 field=self.state.params.field,
