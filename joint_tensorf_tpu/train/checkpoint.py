@@ -206,4 +206,5 @@ def restore_checkpoint(path: str, trainer) -> None:
             grid=grid, aabb=jnp.asarray(data["alpha_mask/aabb"]),
             packed=pack_neighborhoods(grid))
         trainer.compact_k = trainer._probe_compact_k()
+        trainer.app_k_dyn = trainer._probe_app_k()
     trainer._step_cfg = None  # force step rebuild with restored shapes

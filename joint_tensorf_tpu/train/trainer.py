@@ -181,6 +181,11 @@ class Trainer:
         self.alpha_mask: Optional[AlphaMask] = None
         self.alphamask_thresh = float(ts.get("alpha_mask_threshold", 1e-4))
         self.compact_k: Optional[int] = None
+        # training-time appearance cap, auto-raised from the measured gate
+        # counts at alpha-mask updates (VERDICT round-2 #6: the static
+        # tpu.app_k clipped ~25% of rays at converged fields).  None means
+        # "use the configured tpu.app_k unchanged".
+        self.app_k_dyn: Optional[int] = None
 
         # ---------------- field + optimizer
         init_key, self.key = jax.random.split(self.key)
@@ -422,8 +427,9 @@ class Trainer:
             densify_density=(bool(self.opt.tpu.get("densify_density", True))
                              and (blur_active or self.compact_k is None)),
             densify_impl=str(self.opt.tpu.get("densify_impl", "packed8")),
-            app_k=(int(self.opt.tpu.app_k)
-                   if self.opt.tpu.get("app_k") else None),
+            app_k=(self.app_k_dyn if self.app_k_dyn is not None
+                   else (int(self.opt.tpu.app_k)
+                         if self.opt.tpu.get("app_k") else None)),
             mask_stride=int(self.opt.tpu.get("mask_stride", 4)),
             pin_first_pose=bool(
                 self.opt.train_schedule.get("pin_first_pose", False)),
@@ -606,6 +612,7 @@ class Trainer:
             self.alphamask_thresh)
         self.alpha_mask = mask
         self.compact_k = self._probe_compact_k()
+        self.app_k_dyn = self._probe_app_k()
         if it == self.update_alphamask_iters[0] and \
                 self.opt.train_schedule.get("shrink_bbox_with_alphamask", True):
             new_field = vm_lib.shrink(field, new_aabb)
@@ -692,6 +699,81 @@ class Trainer:
         if k >= S:
             return None
         return k
+
+    def _probe_app_k(self, n_probe_rays: int = 4096,
+                     quantile: float = 0.98) -> Optional[int]:
+        """Measure weight>thres gate counts on training rays and raise the
+        training-time appearance cap so it clips almost no rays.
+
+        VERDICT round-2 #6: the static ``tpu.app_k`` (64) clipped ~25% of
+        rays at converged fields — those rays silently dropped
+        above-threshold color contributions the reference keeps
+        (tensorBase.py:773-783).  At every alpha-mask update this probe
+        renders density on training rays, counts samples passing the
+        weight gate per ray, and returns the ``quantile`` count rounded up
+        to a multiple of 64 (clamped to [tpu.app_k, tpu.app_k_max]) —
+        clip rate stays under ~1-quantile at the measured field instead of
+        whatever the static cap happens to give.  ``tpu.app_k_auto: false``
+        disables the raise; returns None to keep the configured cap.
+        """
+        base = (int(self.opt.tpu.app_k)
+                if self.opt.tpu.get("app_k") else None)
+        if base is None or not bool(self.opt.tpu.get("app_k_auto", True)):
+            return None
+        from ..geometry.rays import get_center_and_ray
+        from ..models.alpha_mask import sample_alpha
+        from ..render.renderer import sample_ray
+
+        field = self.state.params.field
+        S = self.n_samples
+        poses, _ = self.get_all_training_poses()
+        per_view = max(1, n_probe_rays // poses.shape[0])
+        idx = jnp.asarray(self.rng_np.permutation(self.H * self.W)[:per_view])
+        centers, dirs = get_center_and_ray(self.H, self.W, poses,
+                                           self.intr_inv, ray_idx=idx)
+        centers = centers.reshape(-1, 3)
+        dirs = dirs.reshape(-1, 3)
+
+        @jax.jit
+        def gate_counts(field, centers, dirs, near_far):
+            units = (field.aabb[1] - field.aabb[0]) / (
+                jnp.asarray(self.resolution, jnp.float32) - 1)
+            step = jnp.mean(units) * self.vm_cfg.step_ratio
+            pts, z_vals, in_bbox = sample_ray(
+                field.aabb, step, S, centers, dirs, jax.random.PRNGKey(0),
+                near_far[0], near_far[1], stratified=False)
+            valid = in_bbox
+            if self.alpha_mask is not None:
+                a = sample_alpha(self.alpha_mask,
+                                 pts.reshape(-1, 3)).reshape(pts.shape[:2])
+                valid = valid & (a > 0)
+            coords = vm_lib.normalize_coord(pts.reshape(-1, 3), field.aabb)
+            feat = vm_lib.compute_density_feature(
+                field, self.vm_cfg, coords,
+                stop_coord_grad=True).reshape(pts.shape[:2])
+            sigma = jnp.where(
+                valid, vm_lib.feature2density(self.vm_cfg, feat), 0.0)
+            dists = jnp.concatenate(
+                [z_vals[:, 1:] - z_vals[:, :-1],
+                 jnp.zeros_like(z_vals[:, :1])], -1)
+            alpha = 1.0 - jnp.exp(-sigma * dists * self.vm_cfg.distance_scale)
+            T_excl = jnp.concatenate(
+                [jnp.ones_like(alpha[:, :1]),
+                 jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)[:, :-1]], -1)
+            weight = alpha * T_excl
+            return jnp.sum(
+                (weight > self.vm_cfg.raymarch_weight_thres) & valid, axis=-1)
+
+        near_far = jnp.asarray(self._near_far(), jnp.float32)
+        n_gate = np.asarray(gate_counts(field, centers, dirs, near_far))
+        k_q = int(np.quantile(n_gate, quantile))
+        k = max(base, int(-(-k_q // 64) * 64))
+        k = min(k, int(self.opt.tpu.get("app_k_max", 256)), S)
+        if k != base:
+            clip = float((n_gate > base).mean())
+            print(f"[app_k] gate quantile({quantile})={k_q} clips "
+                  f"{clip:.1%} of rays at app_k={base} -> raising to {k}")
+        return None if k == base else k
 
     def run(self, max_iter: Optional[int] = None, log_every: int = 100,
             callback=None):

@@ -16,7 +16,7 @@ log "llff_ref_r3 done rc=$?"
 
 # 2. 20k regression bisect: current-code baseline (app_k=64)
 timeout 4200 python train.py --yaml=configs/bat_synthetic_convergence_20k.yaml \
-  --name=convergence_20k_r3_appk64 > /tmp/q_20k_appk64.log 2>&1
+  --tpu.app_k_auto! --name=convergence_20k_r3_appk64 > /tmp/q_20k_appk64.log 2>&1
 log "20k appk64 done rc=$?"
 
 # 3. 20k regression bisect: app_k disabled (dense appearance)
@@ -31,7 +31,13 @@ log "llff nonoise done rc=$?"
 
 # 5. 20k regression bisect: app_k=128
 timeout 4800 python train.py --yaml=configs/bat_synthetic_convergence_20k.yaml \
-  --tpu.app_k=128 --name=convergence_20k_r3_appk128 > /tmp/q_20k_appk128.log 2>&1
+  --tpu.app_k=128 --tpu.app_k_auto! --name=convergence_20k_r3_appk128 > /tmp/q_20k_appk128.log 2>&1
 log "20k appk128 done rc=$?"
+
+# 6. app_k auto-raise demo (VERDICT #6): base cap 64 with the clip-rate
+# probe allowed to raise it at alpha-mask updates
+timeout 4800 python train.py --yaml=configs/bat_synthetic_convergence_20k.yaml \
+  --name=convergence_20k_r3_appkauto > /tmp/q_20k_appkauto.log 2>&1
+log "20k appkauto done rc=$?"
 
 log "queue complete"
