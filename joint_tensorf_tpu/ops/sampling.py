@@ -254,6 +254,26 @@ def _prod_fwd(plane, line, u, v, w):
 # pathological sample counts (transient at the threshold: 1M x 64ch = 256MB).
 _PROD_BWD_CHUNK = 1 << 20
 
+# Plane-gradient scatter implementation: "xla" (scatter-add) or "segsum"
+# (the sorted segment-sum Pallas kernel, ops/segment_scatter.py).  Module
+# global read at trace time; set_plane_scatter_impl flips it (trainer wires
+# it from tpu.plane_scatter).
+_PLANE_SCATTER_IMPL = "xla"
+
+
+def set_plane_scatter_impl(impl: str):
+    global _PLANE_SCATTER_IMPL
+    assert impl in ("xla", "segsum"), impl
+    _PLANE_SCATTER_IMPL = impl
+
+
+def _scatter_plane_rows(idx, g4, n_rows: int):
+    if _PLANE_SCATTER_IMPL == "segsum":
+        from .segment_scatter import scatter_add_rows
+
+        return scatter_add_rows(idx, g4, n_rows)
+    return jnp.zeros((n_rows, g4.shape[-1]), g4.dtype).at[idx].add(g4)
+
 
 def _scatter_rows_matmul(idx, updates, n_rows: int):
     """Row scatter-add with a TINY destination, as one MXU matmul.
@@ -323,7 +343,7 @@ def _prod_bwd(res, g):
 
     if n_chunks == 1:
         idx, g4, i0, g2, d_u, d_v, d_w = chunk_grads(up, vp, wp, gpad)
-        d_pk = jnp.zeros((H * W, 4 * R), g.dtype).at[idx].add(g4)
+        d_pk = _scatter_plane_rows(idx, g4, H * W)
         d_lk = _scatter_rows_matmul(i0, g2, D)
     else:
         def body(i, carry):

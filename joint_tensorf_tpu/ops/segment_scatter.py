@@ -90,12 +90,20 @@ def _kernel(C: int, starts_ref, idx_hbm, upd_hbm, out_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
-def scatter_add_rows(idx, updates, n_rows: int, interpret: bool = False):
+def scatter_add_rows(idx, updates, n_rows: int, interpret=None):
     """zeros([n_rows, C]).at[idx].add(updates), via the sorted kernel.
 
     idx: [N] integer in [0, n_rows); updates: [N, C] f32.
+    interpret=None auto-selects interpreter mode on the CPU backend (the
+    Mosaic kernel only compiles for TPU), keeping CPU tests runnable.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _scatter_add_rows(idx, updates, n_rows, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def _scatter_add_rows(idx, updates, n_rows: int, interpret: bool):
     N, C = updates.shape
     n_blocks = -(-n_rows // BLOCK_ROWS)
     padded_rows = n_blocks * BLOCK_ROWS

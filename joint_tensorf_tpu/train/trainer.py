@@ -187,6 +187,11 @@ class Trainer:
         # "use the configured tpu.app_k unchanged".
         self.app_k_dyn: Optional[int] = None
 
+        # plane-gradient scatter implementation (ops/sampling.py module
+        # switch): "xla" scatter-add or the "segsum" Pallas kernel
+        from ..ops.sampling import set_plane_scatter_impl
+        set_plane_scatter_impl(str(opt.tpu.get("plane_scatter", "xla")))
+
         # ---------------- field + optimizer
         init_key, self.key = jax.random.split(self.key)
         self.state = init_train_state(

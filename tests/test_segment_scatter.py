@@ -34,3 +34,30 @@ def test_hot_rows_and_empty_blocks():
     got = scatter_add_rows(idx, upd, rows, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_prod_bwd_segsum_matches_xla():
+    """The full sample_planeline_prod VJP under the segsum plane-scatter
+    switch must match the XLA scatter path."""
+    import jax
+
+    from joint_tensorf_tpu.ops import sampling
+
+    rng = np.random.default_rng(0)
+    plane = jnp.asarray(rng.standard_normal((20, 22, 4)), jnp.float32)
+    line = jnp.asarray(rng.standard_normal((16, 4)), jnp.float32)
+    u, v, w = [jnp.asarray(rng.uniform(-1, 1, 500), jnp.float32)
+               for _ in range(3)]
+
+    def loss(p, l, u, v, w):
+        return jnp.sum(sampling.sample_planeline_prod(p, l, u, v, w) ** 2)
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(plane, line, u, v, w)
+    sampling.set_plane_scatter_impl("segsum")
+    try:
+        g_new = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(plane, line, u, v, w)
+    finally:
+        sampling.set_plane_scatter_impl("xla")
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
