@@ -194,6 +194,39 @@ def make_scene(n_views: int = 12, H: int = 64, W: int = 64,
                n_blobs: int = 5, n_samples: int = 256,
                pose_seed: int | None = None,
                kind: str = "blobs") -> SceneData:
+    # Disk cache: the analytic GT render runs on the accelerator and costs
+    # ~10 min at 100 views x 400^2 — every process re-paid it (and hung
+    # when the TPU tunnel was down).  The scene is a pure function of the
+    # arguments, so cache the arrays keyed by them.
+    import os
+    cache_dir = os.environ.get("JTF_SCENE_CACHE",
+                               os.path.join("output", ".scene_cache"))
+    key = (f"{kind}_v{n_views}_{H}x{W}_n{near:g}_f{far:g}_s{seed}"
+           f"_b{n_blobs}_ns{n_samples}_p{pose_seed}")
+    path = os.path.join(cache_dir, key + ".npz")
+    try:
+        z = np.load(path)
+        return SceneData(images=z["images"], poses=z["poses"], intr=z["intr"],
+                         intr_inv=z["intr_inv"], near_far=(near, far),
+                         H=H, W=W)
+    except Exception:
+        pass
+    scene = _make_scene_impl(n_views, H, W, near, far, seed, n_blobs,
+                             n_samples, pose_seed, kind)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, images=scene.images, poses=scene.poses,
+                 intr=scene.intr, intr_inv=scene.intr_inv)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    return scene
+
+
+def _make_scene_impl(n_views: int, H: int, W: int, near: float, far: float,
+                     seed: int, n_blobs: int, n_samples: int,
+                     pose_seed: int | None, kind: str) -> SceneData:
     # the field is determined by ``seed`` alone so train/val splits of the
     # same scene share geometry; only the camera ring varies with pose_seed
     gt_near, gt_far = near, far
