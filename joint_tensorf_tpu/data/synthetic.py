@@ -189,6 +189,13 @@ def render_analytic(field: BlobField, pose, intr_inv, H: int, W: int,
     return np.asarray(img)
 
 
+# Version tag of the procedural-scene GENERATOR (not the call arguments):
+# bump on any change to _make_scene_impl / the field classes / the pose
+# generators so stale disk-cache entries cannot masquerade as current
+# scenes.  v1 == the round-3 generator (unchanged since the cache landed).
+_SCENE_CACHE_VERSION = 1
+
+
 def make_scene(n_views: int = 12, H: int = 64, W: int = 64,
                near: float = 2.0, far: float = 6.0, seed: int = 0,
                n_blobs: int = 5, n_samples: int = 256,
@@ -201,11 +208,16 @@ def make_scene(n_views: int = 12, H: int = 64, W: int = 64,
     import os
     cache_dir = os.environ.get("JTF_SCENE_CACHE",
                                os.path.join("output", ".scene_cache"))
+    # _SCENE_CACHE_VERSION must be bumped whenever _make_scene_impl, the
+    # field classes, or the pose generators change — the key is otherwise
+    # only a function of the call arguments, and a stale hit would silently
+    # corrupt convergence/PSNR comparisons across code versions.
     key = (f"{kind}_v{n_views}_{H}x{W}_n{near:g}_f{far:g}_s{seed}"
-           f"_b{n_blobs}_ns{n_samples}_p{pose_seed}")
+           f"_b{n_blobs}_ns{n_samples}_p{pose_seed}_cv{_SCENE_CACHE_VERSION}")
     path = os.path.join(cache_dir, key + ".npz")
     try:
         z = np.load(path)
+        print(f"[scene] cache hit {path}")
         return SceneData(images=z["images"], poses=z["poses"], intr=z["intr"],
                          intr_inv=z["intr_inv"], near_far=(near, far),
                          H=H, W=W)

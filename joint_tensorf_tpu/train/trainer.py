@@ -656,12 +656,19 @@ class Trainer:
         aabb = field.aabb
         res = self.resolution
         S = self.n_samples
+        probe_rng = self.rng_np
         if poses is None:
             poses, _ = self.get_all_training_poses()
             intr_inv = self.intr_inv
+        else:
+            # eval-path callers (render_views / validate): a dedicated RNG
+            # so mid-training validation never advances the training
+            # stream (bisect arms must train identically with or without
+            # freq.val enabled)
+            probe_rng = np.random.default_rng(0)
         n_probe_views = poses.shape[0]
         per_view = max(1, n_probe_rays // n_probe_views)
-        idx = jnp.asarray(self.rng_np.permutation(self.H * self.W)[:per_view])
+        idx = jnp.asarray(probe_rng.permutation(self.H * self.W)[:per_view])
         pose = poses
         centers, dirs = get_center_and_ray(self.H, self.W, pose,
                                            intr_inv, ray_idx=idx)
@@ -685,13 +692,24 @@ class Trainer:
                 aabb, step, S, centers, dirs, jax.random.PRNGKey(0),
                 self.near_far[0], self.near_far[1], stratified=False)
             from ..models.alpha_mask import AlphaMask as AM
-            a = sample_alpha(AM(grid=mask_grid, aabb=mask_aabb),
-                             pts.reshape(-1, 3)).reshape(pts.shape[:2])
-            alive = in_bbox & (a > 0)
+            mask = AM(grid=mask_grid, aabb=mask_aabb)
             if g > 1:
-                galive = jnp.any(alive.reshape(alive.shape[0], S // g, g),
-                                 axis=-1)
+                # the renderer's EXACT group gate (renderer.py use_group):
+                # alpha probed at the FIRST sample of each group
+                # (clamp-sampled even when that sample is out of bbox) AND
+                # any-in-bbox within the group.  Probing any(in_bbox &
+                # alpha>0) instead (the old gate) undercounts groups whose
+                # first-sample alpha is alive but whose alive samples are
+                # out of bbox — the measured K must be an upper bound of
+                # the renderer's selection by construction.
+                n = pts.shape[0]
+                a = sample_alpha(mask, pts[:, ::g].reshape(-1, 3)
+                                 ).reshape(n, S // g)
+                ginb = jnp.any(in_bbox.reshape(n, S // g, g), axis=-1)
+                galive = (a > 0) & ginb
                 return jnp.max(jnp.sum(galive, axis=-1)) * g
+            a = sample_alpha(mask, pts.reshape(-1, 3)).reshape(pts.shape[:2])
+            alive = in_bbox & (a > 0)
             return jnp.max(jnp.sum(alive, axis=-1))
 
         mx = int(alive_max(centers, dirs, aabb, self.alpha_mask.grid,
@@ -772,10 +790,24 @@ class Trainer:
         near_far = jnp.asarray(self._near_far(), jnp.float32)
         n_gate = np.asarray(gate_counts(field, centers, dirs, near_far))
         k_q = int(np.quantile(n_gate, quantile))
+        clip = float((n_gate > base).mean())
+        # This probe only ever RAISES the cap.  The renderer already clamps
+        # K2 = min(app_k, S) internally (renderer.py), so when S < base the
+        # configured cap is harmlessly over-sized — returning a lowered cap
+        # here (the old `min(..., S)`) swapped the step config (a recompile)
+        # for zero benefit while printing "raising" (VERDICT round-3 #6,
+        # visible in MULTICHIP_r03's "raising to 48" tail).
         k = max(base, int(-(-k_q // 64) * 64))
-        k = min(k, int(self.opt.tpu.get("app_k_max", 256)), S)
+        k = min(k, int(self.opt.tpu.get("app_k_max", 256)))
+        if k > base and clip == 0.0:
+            # 64-rounding of the quantile suggested a raise, but no measured
+            # ray actually clips at the current cap — skip the recompile
+            k = base
+        if S <= base:
+            print(f"[app_k] n_samples={S} <= app_k={base}; cap already "
+                  f"covers every sample (renderer clamps) — keeping {base}")
+            k = base
         if k != base:
-            clip = float((n_gate > base).mean())
             print(f"[app_k] gate quantile({quantile})={k_q} clips "
                   f"{clip:.1%} of rays at app_k={base} -> raising to {k}")
         return None if k == base else k
@@ -872,7 +904,11 @@ class Trainer:
             edge_factor=jnp.float32(1), non_edge_factor=jnp.float32(1),
             view_pe_progress=jnp.float32(1), fea_pe_progress=jnp.float32(1),
             pose_do_step=jnp.float32(0), tv_depth_weight=jnp.float32(0))
-        self.key, rkey = jax.random.split(self.key)
+        # fixed key: eval renders are non-stratified/deterministic, and
+        # drawing from self.key here would perturb the TRAINING RNG stream
+        # whenever validation runs mid-training (freq.val) — runs with and
+        # without mid-train validation must train identically
+        rkey = jax.random.PRNGKey(0)
         return render(self.state.params.field, pose, intr, intr_inv, s,
                       self.alpha_mask, rkey)
 

@@ -12,8 +12,8 @@ import os
 import shutil
 import sys
 
-KEEP = ("log.jsonl", "options.json", "quant.txt", "quant_eval.json",
-        "quant_pose.txt", "poses.png")
+KEEP = ("log.jsonl", "options.json", "quant.json", "quant.txt",
+        "quant_eval.json", "quant_pose.txt", "poses.png")
 
 
 def main(runs):

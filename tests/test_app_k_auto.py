@@ -94,3 +94,17 @@ def test_auto_raise_no_op_on_sparse_field():
     _set_uniform_density(tr, -30.0)
     tr.app_k_dyn = None
     assert tr._probe_app_k() is None
+
+
+def test_probe_never_lowers_below_base_when_samples_few():
+    """VERDICT round-3 #6: with S < app_k the old probe returned min(k, S)
+    < base while printing "raising to {S}" and triggered a pointless
+    recompile (the renderer already clamps K2 = min(app_k, S)); the probe
+    must keep the configured cap (return None) in that regime."""
+    tr = _trainer_with_mask()
+    base = int(tr.opt.tpu.app_k)
+    tr.n_samples = base // 2                # S < base, the MULTICHIP_r03 tail
+    _set_uniform_density(tr, 0.35)          # dense gate counts (all <= S)
+    _all_alive_mask(tr)
+    tr.app_k_dyn = None
+    assert tr._probe_app_k() is None

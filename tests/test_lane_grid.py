@@ -114,3 +114,18 @@ def test_direct_vm_build_matches_pack_of_dense_grid():
                     jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_unpack_lane_grid_T_matches_pack_bwd():
+    """unpack_lane_grid_T is the streaming rewrite of _pack_bwd (the
+    pack_lane_grid VJP); they must agree at Z a multiple of 31, Z not a
+    multiple, tiny Z, and Z crossing several blocks."""
+    for seed, (X, Y, Z) in enumerate([(7, 5, 62), (9, 6, 67), (4, 4, 13),
+                                      (5, 3, 31 * 3 + 1)]):
+        G = jax.random.normal(jax.random.PRNGKey(seed), (X, Y, Z))
+        P = lane_grid.pack_lane_grid(G)
+        dP = jax.random.normal(jax.random.PRNGKey(100 + seed), P.shape)
+        (ref,) = lane_grid._pack_bwd((X, Y, Z), dP)
+        got = lane_grid.unpack_lane_grid_T((X, Y, Z), dP)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
