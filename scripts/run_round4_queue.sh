@@ -18,6 +18,7 @@ REPO=/root/repo
 WT=$REPO/.science
 cd "$WT"
 export JTF_SCENE_CACHE=$REPO/output/.scene_cache
+export JTF_COMPILE_CACHE=$REPO/.jax_cache   # share the warm XLA cache
 
 log() { echo "[queue4 $(date +%H:%M:%S)] $*" | tee -a /tmp/queue_r4.log; }
 
