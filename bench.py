@@ -110,6 +110,61 @@ def _emit_unavailable():
     os._exit(0)
 
 
+def simulate_schedule_weights(max_iter: int = 40000, seed: int = 0):
+    """Derive the phase weights by simulating the ACTUAL per-iteration
+    schedule of the headline config (bat_blender_VM.yaml) instead of
+    hand-assigning them (VERDICT round-3 #8).
+
+    Classification replicates trainer.train_iteration exactly:
+      * blur_active = max(c2f_density * random_scale, c2f_color) >= 1e-3
+        (trainer._blur_spec / _c2f_params; reference tensorf.py:205-220
+        kernel-drop eps — note the random scale pool multiplies the DENSITY
+        parameter only, both here and in the reference tensorf.py:193-199,
+        so color blur keeps the kernel alive whenever its schedule is
+        >= eps regardless of the density draw).
+      * the alpha mask exists from update_alphamask_iters[0]; compaction
+        runs only when the mask exists AND blur is off (the reference
+        disables culling while blur is active, batBase.py:76-82).
+      * "early" = before the last upsample (growing resolution).
+
+    With the headline schedules ([0.3, 0.15, 0.07, 0, ...] over 11 points,
+    i.e. 0 from progress 0.3 = it 12,000) blur is FULLY annealed exactly
+    when the mask arrives, so the post-12k regime is sharp+compacted for
+    every iteration.  The round-3 BENCH_NOTES "alternative weighting"
+    (blur active on 5/6 of post-12k iterations) assumed the density draw
+    kept re-activating blur after annealing; the schedule values refute
+    that — it can only happen while the schedule itself is >= eps.
+    """
+    sched_d = [0.3, 0.15, 0.07, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    sched_c = list(sched_d)
+    scale_pool = [0.0, 0.2, 0.4, 0.6, 0.8, 1.0]
+    upsample_iters = [2000, 6000, 7500, 9000]
+    first_mask_iter = 12000
+    eps = 1e-3
+    rng = np.random.default_rng(seed)
+
+    def interp(x, sched):
+        xs = np.linspace(0.0, 1.0, len(sched))
+        return float(np.interp(x, xs, sched))
+
+    counts = {"early": 0, "dense_blur": 0, "dense_sharp": 0, "compacted": 0}
+    for it in range(max_iter):
+        progress = it / max_iter
+        d = interp(progress, sched_d) * float(rng.choice(scale_pool))
+        c = interp(progress, sched_c)
+        blur = max(d, c) >= eps
+        if it < upsample_iters[-1]:
+            counts["early"] += 1
+        elif it >= first_mask_iter and not blur:
+            counts["compacted"] += 1
+        elif blur:
+            counts["dense_blur"] += 1
+        else:
+            # final resolution, blur annealed, mask not built yet
+            counts["dense_sharp"] += 1
+    return {k: v / max_iter for k, v in counts.items()}
+
+
 def main():
     from joint_tensorf_tpu.utils import setup_jax
     setup_jax()
@@ -282,12 +337,25 @@ def main():
     except Exception as e:  # cost model API drift must not kill the bench
         print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
 
-    # schedule-weighted over the bat_blender_VM phases: iterations 0-9000
-    # grow 64^3 -> 400^3 (modeled at 128^3/443 samples), 9000-12000 run
-    # dense at full resolution, 12000-40000 run with the alpha mask
-    # (compacted).
-    t_mix = 0.225 * t_early + 0.075 * t_dense + 0.7 * t_compact
+    # Phase weights from the in-situ schedule simulation (not hand-assigned;
+    # VERDICT round-3 #8): classify every iteration of the 40k headline
+    # schedule with the trainer's own blur/mask logic.  dense_sharp (final
+    # res, blur annealed, mask not yet built — ~0.1% of iterations) is
+    # costed at the dense rate (conservative: it has no blur convs).
+    w = simulate_schedule_weights()
+    t_mix = (w["early"] * t_early
+             + (w["dense_blur"] + w["dense_sharp"]) * t_dense
+             + w["compacted"] * t_compact)
     rays_per_sec = n_rays / t_mix
+    # The round-3 "alternative honest weighting" (BENCH_NOTES: blur active
+    # on 5/6 of post-12k iterations -> ~0.66 dense weight) is carried for
+    # transparency but is REFUTED by the schedule values: both c2f
+    # schedules are 0.0 from progress 0.3 (= it 12,000), and the reference
+    # drops the kernel entirely below eps=1e-3 (tensorf.py:205-220), so no
+    # post-12k iteration can be blur-active.  See simulate_schedule_weights.
+    t_mix_alt = (0.225 * t_early + (0.075 + 0.7 * 5 / 6) * t_dense
+                 + (0.7 / 6) * t_compact)
+    rays_per_sec_alt = n_rays / t_mix_alt
     result = {
         "metric": "rays_per_sec_train",
         "value": round(rays_per_sec, 1),
@@ -306,6 +374,22 @@ def main():
                    "median_of": m_compact["reps"],
                    "compact_k": compact_k, "n_rays": n_rays,
                    "n_samples": n_samples,
+                   "phase_weights_simulated": {k: round(v, 4)
+                                               for k, v in w.items()},
+                   "weightings": {
+                       "simulated_schedule": {
+                           "rays_per_sec": round(rays_per_sec, 1),
+                           "vs_baseline": round(
+                               rays_per_sec / BASELINE_RAYS_PER_SEC, 3)},
+                       "alt_blur_active_post12k_5of6": {
+                           "rays_per_sec": round(rays_per_sec_alt, 1),
+                           "vs_baseline": round(
+                               rays_per_sec_alt / BASELINE_RAYS_PER_SEC, 3),
+                           "note": "refuted by the schedule values (both "
+                                   "c2f schedules are 0 from it 12k and "
+                                   "the kernel is dropped below eps=1e-3, "
+                                   "tensorf.py:205-220); kept for "
+                                   "round-3 comparability"}},
                    "roofline_compacted": roofline},
     }
     # persist as the stale-fallback for tunnel-down captures (_emit_unavailable)

@@ -398,6 +398,21 @@ class Trainer:
         idx = (gx + gy * W).reshape(-1)
         return np.arange(V), idx.astype(np.int64), (ny, nx)
 
+    def _samples_per_chip(self, rays_per_view: int) -> int:
+        """Density-evaluation samples each chip processes per step.
+
+        The densify decision variable of the analytic scaling model
+        (BENCH_NOTES "Round-3 scaling model"): the O(XYZ) dense-grid build
+        is parameter-work that replicates on every chip, while the
+        per-sample gather work divides by the mesh's rays axis — so on a
+        pod the break-even moves with rays-per-chip, not phase alone.
+        """
+        n_ray_chips = 1
+        if self.mesh is not None:
+            n_ray_chips = dict(self.mesh.shape).get("rays", 1)
+        return (rays_per_view * self.n_views * self.n_samples) \
+            // max(1, n_ray_chips)
+
     # ---------------------------------------------------------- step builder
     def _ensure_step(self, strategy: str, n_rays: int, blur_active: bool,
                      grid_hw):
@@ -428,9 +443,16 @@ class Trainer:
             # dense-grid density pays an O(XYZ) per-step build: a clear win
             # for dense/blurred phases, a loss once compaction shrinks the
             # sample count (measured, scripts/densify_bench.py) — so gate it
-            # off when compaction is active.
+            # off when compaction is active.  On pods the build REPLICATES
+            # per chip while sample work divides by the rays axis, so the
+            # gate also keys on SAMPLES PER CHIP (BENCH_NOTES "Round-3
+            # scaling model" consequence 2): densify only when the per-chip
+            # sample count amortizes the replicated O(XYZ) build.
             densify_density=(bool(self.opt.tpu.get("densify_density", True))
-                             and (blur_active or self.compact_k is None)),
+                             and (blur_active or self.compact_k is None)
+                             and self._samples_per_chip(n_rays) >= int(
+                                 self.opt.tpu.get(
+                                     "densify_min_samples_per_chip", 100000))),
             densify_impl=str(self.opt.tpu.get("densify_impl", "packed8")),
             app_k=(self.app_k_dyn if self.app_k_dyn is not None
                    else (int(self.opt.tpu.app_k)

@@ -199,3 +199,39 @@ def test_l2g_sharded_step_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(tr_sh.state.optimised_poses),
         np.asarray(tr_ref.state.optimised_poses), rtol=0.05, atol=2e-4)
+
+
+def test_densify_gate_flips_on_rays_per_chip():
+    """BENCH_NOTES scaling-model consequence 2 (VERDICT round-3 #7): the
+    dense-grid build replicates per chip, so the densify gate must key on
+    SAMPLES PER CHIP — the same config that densifies on one chip falls
+    back to the factored path when the rays axis divides its batch below
+    the amortization threshold."""
+    from joint_tensorf_tpu.data import load_dataset
+    from joint_tensorf_tpu.train.trainer import Trainer
+
+    # threshold chosen between the single-chip count (128*4*~33) and the
+    # 4-way-sharded count (/4) so the mesh flips the gate at test scale
+    n_rays, n_views = 128, 4
+    extra = []
+    opt1 = _small_bat_opt(extra)
+    scene = load_dataset(opt1, "train")
+    tr1 = Trainer(opt1, scene)
+    S = tr1.n_samples
+    thresh = n_rays * n_views * S // 2       # chip passes, /4 shard fails
+    opt1 = _small_bat_opt(
+        [f"--tpu.densify_min_samples_per_chip={thresh}"])
+    tr1 = Trainer(opt1, scene)
+    tr1._ensure_step("per_view", n_rays, blur_active=True, grid_hw=None)
+    assert tr1._step_cfg.densify_density, \
+        "single chip above threshold must densify"
+
+    opt2 = _small_bat_opt(
+        [f"--tpu.densify_min_samples_per_chip={thresh}",
+         "--tpu.mesh_shape=[4]", "--tpu.mesh_axes=[rays]"])
+    tr2 = Trainer(opt2, scene)
+    assert tr2.mesh is not None
+    assert tr2._samples_per_chip(n_rays) == n_rays * n_views * S // 4
+    tr2._ensure_step("per_view", n_rays, blur_active=True, grid_hw=None)
+    assert not tr2._step_cfg.densify_density, \
+        "4-way rays sharding drops below threshold -> factored path"
