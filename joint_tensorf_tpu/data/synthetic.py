@@ -149,6 +149,91 @@ class SolidField:
         return sigma, rgb
 
 
+class ParallaxField:
+    """Analytic GT for the forward-facing protocol with LLFF-like depth
+    structure.
+
+    The round-2/3 `facing` runs drifted even from exact-GT pose starts
+    (docs/CONVERGENCE.md): that scene's content occupies a thin metric
+    slab (depth ratio ~1.4:1 from the camera disc), so the NDC volume is
+    nearly a single plane and joint optimization slides along the
+    plane-sweep family.  Real LLFF captures (fern, flower) pin poses with
+    near-to-far parallax spanning ~5-10x depth.  This field reproduces
+    that regime: solids stratified over metric depth ~2.2-12 from the
+    camera disc, a textured floor plane running through the depth range,
+    and a far textured backdrop wall — every image mixes near and far
+    content, so a pose shift cannot be absorbed by a depth-consistent
+    field warp.
+    """
+
+    def __init__(self, n_shapes: int = 10, seed: int = 0,
+                 density_scale: float = 300.0, texture: bool = True):
+        rng = np.random.default_rng(seed)
+        # cameras sit near z = -4 (facing_poses) looking toward +z;
+        # stagger shape centers over z in [-1.8, 8] => metric depth 2.2-12
+        zs = np.linspace(-1.8, 8.0, n_shapes) + rng.uniform(
+            -0.4, 0.4, n_shapes)
+        # lateral spread grows with depth so shapes stay inside the FOV
+        # (half-width ~ 0.45 * depth at focal 1.1W) without occluding
+        # everything behind them
+        lat = 0.38 * (zs + 4.0)
+        self.centers = np.stack([
+            rng.uniform(-1, 1, n_shapes) * lat,
+            rng.uniform(-0.75, 0.9, n_shapes) * lat * 0.8,
+            zs], axis=-1)
+        # angular size roughly constant: radius grows with depth
+        self.sizes = (0.10 + 0.05 * rng.random(n_shapes)) * (zs + 4.0) * 0.55
+        self.is_box = (np.arange(n_shapes) % 2 == 0).astype(np.float32)
+        self.colors = rng.uniform(0.15, 1.0, (n_shapes, 3))
+        self.density_scale = density_scale
+        self.texture = texture
+        self.tex_freqs = rng.uniform(1.0, 6.0, (3, 5, 3))
+        self.tex_phase = rng.uniform(0, 2 * np.pi, (3, 5))
+        # floor at y = -1.6 - 0.12*(z+4) (slightly sloped), backdrop wall
+        # at z = 15 (metric depth 19); both textured via the same octaves
+        self.floor_y0 = -1.6
+        self.floor_slope = -0.12
+        self.wall_z = 15.0
+
+    def sigma_rgb(self, pts):
+        import jax
+        import jax.numpy as jnp
+
+        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+        delta = pts[..., None, :] - self.centers              # [..., K, 3]
+        d_sphere = jnp.linalg.norm(delta, axis=-1) - self.sizes
+        d_box = jnp.max(jnp.abs(delta), axis=-1) - self.sizes
+        d = self.is_box * d_box + (1 - self.is_box) * d_sphere
+        # shell thickness scales with size so far shapes stay resolvable
+        # by the GT quadrature (render step ~0.02 * depth_range)
+        shell = 0.015 * (self.sizes / self.sizes.min())
+        occ = jax.nn.sigmoid(-d / shell)                      # [..., K]
+        # floor + wall as half-space shells
+        floor_d = y - (self.floor_y0 + self.floor_slope * (z + 4.0))
+        wall_d = self.wall_z - z
+        occ_floor = jax.nn.sigmoid(-floor_d / 0.05)
+        occ_wall = jax.nn.sigmoid(-wall_d / 0.12)
+        sigma = self.density_scale * (
+            jnp.sum(occ, axis=-1) + occ_floor + occ_wall)
+        # color: nearest shape, floor, wall weighted by signed distance
+        d_all = jnp.concatenate(
+            [d, floor_d[..., None], wall_d[..., None]], axis=-1)
+        w = jax.nn.softmax(-d_all / 0.06, axis=-1)
+        colors = jnp.concatenate(
+            [jnp.asarray(self.colors),
+             jnp.array([[0.55, 0.45, 0.35], [0.45, 0.55, 0.70]])], axis=0)
+        rgb = w @ colors
+        if self.texture:
+            # anisotropic scaling keeps texture frequency roughly uniform
+            # in IMAGE space across depth (world frequency / depth)
+            depth = jnp.maximum(z + 4.0, 0.5)[..., None]
+            p = pts / depth * 4.0
+            arg = jnp.einsum("...d,cod->...co", p, self.tex_freqs)
+            tex = jnp.mean(jnp.sin(arg + self.tex_phase), axis=-1)
+            rgb = jnp.clip(rgb * (1.0 + 0.5 * tex), 0.0, 1.0)
+        return sigma, rgb
+
+
 def render_analytic(field: BlobField, pose, intr_inv, H: int, W: int,
                     near: float, far: float, n_samples: int = 256,
                     white_bg: bool = True, chunk: int = 65536):
@@ -242,20 +327,25 @@ def _make_scene_impl(n_views: int, H: int, W: int, near: float, far: float,
     # the field is determined by ``seed`` alone so train/val splits of the
     # same scene share geometry; only the camera ring varies with pose_seed
     gt_near, gt_far = near, far
-    if kind in ("solids", "facing"):
+    if kind == "parallax":
+        field = ParallaxField(seed=seed)
+        # depth range spans the backdrop wall; keep quadrature below the
+        # smallest shell (~0.017) over the 20-unit range
+        n_samples = max(n_samples, 1280)
+    elif kind in ("solids", "facing"):
         field = SolidField(seed=seed)
         # the 0.02-unit sigmoid shells need finer quadrature than the
         # smooth blobs: keep the GT sample spacing below the shell width
         n_samples = max(n_samples, 512)
     else:
         field = BlobField(n_blobs=n_blobs, seed=seed)
-    if kind == "facing":
+    if kind in ("facing", "parallax"):
         # forward-facing capture for the NDC/LLFF protocol: the returned
         # SceneData.near_far stays the caller's (NDC) depth range, while the
         # analytic GT is rendered in metric space around the camera disc
         poses = facing_poses(n_views,
                              seed=seed if pose_seed is None else pose_seed)
-        gt_near, gt_far = 2.0, 6.2
+        gt_near, gt_far = (2.0, 6.2) if kind == "facing" else (1.9, 20.5)
     else:
         poses = sphere_poses(n_views,
                              seed=seed if pose_seed is None else pose_seed)
@@ -286,7 +376,7 @@ def load(opt, split: str = "train", subset: int | None = None) -> SceneData:
     # data.scene selects the analytic field; Blender scene names inherited
     # from parent configs (e.g. "lego") map to the default soft blobs
     kind = str(opt.data.get("scene", "blobs"))
-    if kind not in ("blobs", "solids", "facing"):
+    if kind not in ("blobs", "solids", "facing", "parallax"):
         kind = "blobs"
     scene = make_scene(n_views=n, H=H, W=W, near=float(near), far=float(far),
                        seed=seed, pose_seed=pose_seed, kind=kind)

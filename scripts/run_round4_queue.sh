@@ -80,7 +80,23 @@ collect synthetic/convergence_20k_r4_appk64
 fi  # end part1
 if [ "$PART" = "part1" ]; then log "part1 complete"; exit 0; fi
 
-# 3. Bisect arm: app_k disabled (dense appearance), full 20k this time
+# 3. LLFF/NDC on the PARALLAX scene (round-4): the reference-faithful
+#    protocol on a capture with LLFF-like depth structure — the recovery
+#    demonstration for the forward-facing drift (the colmap arm documents
+#    the failure mode on the depth-poor `facing` scene).  ~2.3 h measured
+#    from the colmap arm's rates (big-batch phase ~2.2 s/it to it 1200,
+#    then ~0.35 s/it) + ~10 min GT render; budget 16000.
+run_arm 16000 /tmp/q4_llff_parallax.log \
+  python train.py --yaml=configs/bat_synthetic_llff_parallax.yaml \
+    --name=llff_parallax_r4
+collect synthetic/llff_parallax_r4
+
+run_arm 3600 /tmp/q4_eval_parallax.log \
+  python evaluate.py --yaml=configs/bat_synthetic_llff_parallax.yaml \
+    --name=llff_parallax_r4
+collect synthetic/llff_parallax_r4
+
+# 4. Bisect arm: app_k disabled (dense appearance), full 20k this time
 run_arm 12000 /tmp/q4_20k_appknone.log \
   python train.py --yaml=configs/bat_synthetic_convergence_20k.yaml \
     --tpu.app_k! --name=convergence_20k_r4_appknone
@@ -90,7 +106,10 @@ run_arm 2400 /tmp/q4_eval_appknone.log \
     --tpu.app_k! --name=convergence_20k_r4_appknone
 collect synthetic/convergence_20k_r4_appknone
 
-# 4. Bisect arm: app_k=128 (between the 64 baseline and dense)
+# 5. Bisect arm: app_k=128 (between the 64 baseline and dense).  Lowest
+#    priority — the bisect concludes from appk64 vs appknone; skip by
+#    touching /tmp/q4_skip_appk128 if the round is short on chip time.
+[ -f /tmp/q4_skip_appk128 ] && { log "appk128 skipped by flag"; log "queue complete"; exit 0; }
 run_arm 6000 /tmp/q4_20k_appk128.log \
   python train.py --yaml=configs/bat_synthetic_convergence_20k.yaml \
     --tpu.app_k=128 --tpu.app_k_auto! --name=convergence_20k_r4_appk128
