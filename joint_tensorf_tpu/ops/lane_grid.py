@@ -272,12 +272,45 @@ def _floor_frac(x, size: int):
     return x0.astype(jnp.int32), frac
 
 
-def sample_lane_grid(G128, coords, Z: int):
+@jax.custom_vjp
+def _bf16_row_gather(Gflat, idx):
+    """Row gather that READS bfloat16 from HBM but is float32 everywhere
+    else: forward casts the grid to bf16 (one streamed pass, then every
+    row fetch moves half the bytes) and upcasts the gathered rows; the
+    backward scatter-add accumulates float32 cotangents straight into the
+    float32 grid — bf16 scatter accumulation (the dangerous half of mixed
+    precision: ~2M colliding row updates) never happens."""
+    return jnp.take(Gflat.astype(jnp.bfloat16), idx,
+                    axis=0).astype(jnp.float32)
+
+
+def _bf16_row_gather_fwd(Gflat, idx):
+    return _bf16_row_gather(Gflat, idx), (idx, Gflat.shape)
+
+
+def _bf16_row_gather_bwd(res, d_rows):
+    idx, shape = res
+    dG = jnp.zeros(shape, jnp.float32).at[idx].add(
+        d_rows.astype(jnp.float32))
+    return dG, None
+
+
+_bf16_row_gather.defvjp(_bf16_row_gather_fwd, _bf16_row_gather_bwd)
+
+
+def sample_lane_grid(G128, coords, Z: int, row_dtype: str = "float32"):
     """Trilinear sample via ONE full-lane row gather per point.
 
     G128: [X, Y, Zb, 128] from pack_lane_grid; coords: [N, 3] normalized to
     [-1, 1] per axis (x -> X, the normalize_coord convention); Z: the
     unpacked z extent (static) -> [N].
+
+    row_dtype "bfloat16" halves the gather's HBM bytes (the dominant
+    dense-phase cost) via _bf16_row_gather; the trilinear dot, the
+    coordinate (pose-path) gradients, and the backward scatter stay
+    float32.  Grid values quantize to 8 mantissa bits — exactness vs
+    float32 is pinned to ~1e-2 relative in tests/test_lane_grid.py and
+    the end-to-end quality delta is measured in docs/PARITY.md.
     """
     X, Y, Zb, _ = G128.shape
     if isinstance(coords, (tuple, list)):
@@ -290,8 +323,12 @@ def sample_lane_grid(G128, coords, Z: int):
     zb = z0 // ZRUN
     zl = z0 - zb * ZRUN                                # 0..30
 
-    rows = jnp.take(G128.reshape(X * Y * Zb, LANES),
-                    (x0 * Y + y0) * Zb + zb, axis=0)   # [N, 128]
+    idx = (x0 * Y + y0) * Zb + zb
+    if row_dtype == "bfloat16":
+        rows = _bf16_row_gather(G128.reshape(X * Y * Zb, LANES), idx)
+    else:
+        rows = jnp.take(G128.reshape(X * Y * Zb, LANES), idx,
+                        axis=0)                        # [N, 128]
 
     # masked-dot extraction: lane j*4 + c carries (z_local=j, corner c)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)

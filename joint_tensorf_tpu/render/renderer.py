@@ -75,6 +75,10 @@ class RenderConfig:
     # dense-grid layout: "packed8" (ops/densify.py corner channels) or
     # "lane" (ops/lane_grid.py full-128-lane z-block rows + masked dot)
     densify_impl: str = "packed8"
+    # dense-grid gather row dtype: "bfloat16" halves the dominant
+    # dense-phase HBM traffic; gradients stay float32 (ops/lane_grid.py
+    # _bf16_row_gather)
+    densify_dtype: str = "float32"
     # two-stage appearance: compute appearance/shading only on the top-app_k
     # samples per ray by compositing weight (the TPU analogue of the
     # reference's dynamic weight>thres gather, tensorBase.py:773-783).
@@ -423,8 +427,9 @@ def render_rays(
             # kept in ops/lane_grid.py as a documented dead end.
             G = vm_lib.compute_density_grid(state, cfg, blur_mats=d_mats)
             G128 = lane_grid.pack_lane_grid(G)
-            sigma_feature = lane_grid.sample_lane_grid(G128, dcoords,
-                                                       resolution[2])
+            sigma_feature = lane_grid.sample_lane_grid(
+                G128, dcoords, resolution[2],
+                row_dtype=rcfg.densify_dtype)
         else:
             from ..ops import densify as densify_ops
 

@@ -113,6 +113,7 @@ class StepConfig:
     compact_k: Optional[int] = None             # alpha-mask sample compaction
     densify_density: bool = False               # dense-grid density expansion
     densify_impl: str = "packed8"               # "packed8" | "lane" layout
+    densify_dtype: str = "float32"              # grid-row gather dtype
     app_k: Optional[int] = None                 # two-stage appearance top-K2
     mask_stride: int = 4                        # alpha-probe stride (renderer)
 
@@ -130,6 +131,7 @@ class StepConfig:
             compact_k=self.compact_k,
             densify_density=self.densify_density,
             densify_impl=self.densify_impl,
+            densify_dtype=self.densify_dtype,
             app_k=self.app_k,
             mask_stride=self.mask_stride,
             # compaction already bounds backward residuals; skip the

@@ -454,6 +454,7 @@ class Trainer:
                                  self.opt.tpu.get(
                                      "densify_min_samples_per_chip", 100000))),
             densify_impl=str(self.opt.tpu.get("densify_impl", "packed8")),
+            densify_dtype=str(self.opt.tpu.get("densify_dtype", "float32")),
             app_k=(self.app_k_dyn if self.app_k_dyn is not None
                    else (int(self.opt.tpu.app_k)
                          if self.opt.tpu.get("app_k") else None)),

@@ -129,3 +129,41 @@ def test_unpack_lane_grid_T_matches_pack_bwd():
         got = lane_grid.unpack_lane_grid_T((X, Y, Z), dP)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_bf16_row_gather_close_and_f32_grads():
+    """row_dtype=bfloat16: values within bf16 quantization of the f32
+    path; grid gradients are EXACT f32 (the backward scatter never
+    touches bf16); coordinate (pose-path) gradients agree to bf16-value
+    tolerance."""
+    G, coords = _setup(N=2048)
+    P = lane_grid.pack_lane_grid(G)
+    Z = G.shape[2]
+
+    ref = lane_grid.sample_lane_grid(P, coords, Z)
+    got = lane_grid.sample_lane_grid(P, coords, Z, row_dtype="bfloat16")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-2, atol=1e-2)
+
+    d_out = jax.random.normal(jax.random.PRNGKey(7), ref.shape)
+
+    def loss(P, c, dt):
+        return jnp.sum(lane_grid.sample_lane_grid(P, c, Z, row_dtype=dt)
+                       * d_out)
+
+    gP_ref, gc_ref = jax.grad(loss, argnums=(0, 1))(P, coords, "float32")
+    gP_b16, gc_b16 = jax.grad(loss, argnums=(0, 1))(P, coords, "bfloat16")
+    # grid grads: identical scatter of identical f32 cotangents
+    assert gP_b16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(gP_b16), np.asarray(gP_ref),
+                               rtol=1e-6, atol=1e-6)
+    # coordinate grads are DIFFERENCES of bf16-quantized row values
+    # (r[x0+1]-r[x0]): near-equal neighbors cancel, so the error is
+    # absolute (~2*bf16_eps*|G|), not relative.  Bound per-element
+    # absolute error and the aggregate deviation (the pose path sums
+    # thousands of per-sample grads, where quantization noise averages).
+    gc_b16, gc_ref = np.asarray(gc_b16), np.asarray(gc_ref)
+    scale = np.abs(gc_ref).max()
+    np.testing.assert_allclose(gc_b16, gc_ref, rtol=5e-2,
+                               atol=0.02 * scale)
+    assert np.abs(gc_b16 - gc_ref).mean() < 0.01 * np.abs(gc_ref).mean()
