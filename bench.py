@@ -201,9 +201,17 @@ def main():
     # appearance; the compacted phase drops densify (its O(XYZ) grid build
     # outweighs the savings at K=256 samples — scripts/densify_bench.py)
     app_k = 64
+    # dense/early phases are BLUR-ACTIVE in the real schedule (every
+    # pre-12k iteration has the kernel alive, simulate_schedule_weights),
+    # so their steps must pay the banded-matmul blur of all 12 factor
+    # grids + its backward transposes — round-1..3 benches omitted it
+    # (~5-7% understatement of those phases).
+    from joint_tensorf_tpu.render.renderer import BlurSpec
+    blur = BlurSpec(mode="uniform-gaussian", kernel_size=64)
     cfg = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
                      n_samples=n_samples, pose_opt=True, use_pose_noise=True,
-                     densify_density=True, densify_impl="lane", app_k=app_k)
+                     densify_density=True, densify_impl="lane", app_k=app_k,
+                     blur=blur)
     step = make_train_step(cfg, vm_cfg, head)
 
     # early-phase variant: the voxel schedule spends iterations 0-9000 at
@@ -212,7 +220,8 @@ def main():
                                aabb, n_views)
     cfg_e = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
                        n_samples=443, pose_opt=True, use_pose_noise=True,
-                       densify_density=True, densify_impl="lane", app_k=app_k)
+                       densify_density=True, densify_impl="lane", app_k=app_k,
+                       blur=blur)
     step_e = make_train_step(cfg_e, vm_cfg, head)
 
     # late-phase variant: alpha-mask culling + sample compaction, the regime
@@ -240,10 +249,14 @@ def main():
     edges = jnp.zeros((n_views, H * W), jnp.float32)
     view_sel = jnp.arange(n_views)
 
+    # mid-schedule blur widths (sigma_world ~0.05 at the dense phase);
+    # the banded matrices are built from traced sigma, cost is
+    # sigma-independent.  The compacted phase step ignores these (no blur
+    # in its StepConfig).
     s = StepScalars(
         lr_index=jnp.float32(1e-2), lr_basis=jnp.float32(5e-4),
-        lr_pose=jnp.float32(1e-3), c2f_density=jnp.float32(0.0),
-        c2f_color=jnp.float32(0.0), near_far=jnp.array([2.0, 6.0]),
+        lr_pose=jnp.float32(1e-3), c2f_density=jnp.float32(0.05),
+        c2f_color=jnp.float32(0.05), near_far=jnp.array([2.0, 6.0]),
         l1_weight=jnp.float32(4e-5), tv_density_weight=jnp.float32(0.0),
         tv_color_weight=jnp.float32(0.0), use_edge=jnp.float32(0.0),
         edge_factor=jnp.float32(1.5), non_edge_factor=jnp.float32(0.5),
