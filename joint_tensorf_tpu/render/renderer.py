@@ -293,6 +293,22 @@ def render_rays(
             alphas = (jnp.repeat(group_alpha, stride, axis=1)
                       if stride > 1 else group_alpha)
             valid = valid & alphas
+    elif rcfg.compact_k is not None and not rcfg.ndc:
+        # Bbox-gated compaction (round 4): with no alpha culling available
+        # (blur active — the reference disables the mask, batBase.py:77 —
+        # or no mask built yet), compact on the IN-BBOX gate alone.  Exact
+        # regardless of blur: out-of-bbox samples contribute nothing in
+        # either system (tensorBase.py:587-589 slab test), and the
+        # trainer's bbox probe sizes K to cover the worst-case in-bbox
+        # count.  Group granularity reuses the strided machinery with an
+        # all-true alpha term.
+        stride_c = (rcfg.mask_stride
+                    if S % max(rcfg.mask_stride, 1) == 0 else 1)
+        if stride_c > 1 and rcfg.compact_k % stride_c == 0 \
+                and rcfg.compact_k < S:
+            stride = stride_c
+            group_alpha = jnp.ones((n, S // stride), bool)
+            use_group = True
 
     # ------------------------------------------------- sample compaction
     # Keep only K samples per ray (the ones surviving the masks) — static

@@ -221,6 +221,24 @@ class Trainer:
         self._step_cfg = None
         self.metrics_history: list[dict] = []
         self._shard_state()
+        # bbox-gated compaction budget for blur-active / pre-mask phases
+        # (round 4): out-of-bbox sample slots are dead weight the mask
+        # cannot cull while blur disables it (batBase.py:77), but the
+        # IN-BBOX gate is exact under blur — compact to the measured
+        # worst-case in-bbox count instead.
+        self.compact_k_bbox: Optional[int] = None
+        self._refresh_bbox_k()
+
+    def _refresh_bbox_k(self):
+        if not bool(self.opt.tpu.get("bbox_compact", True)):
+            self.compact_k_bbox = None
+            return
+        try:
+            self.compact_k_bbox = self._probe_compact_k(bbox_only=True)
+        except Exception as e:  # perf feature: never block training
+            print(f"[bbox_compact] probe failed ({type(e).__name__}: {e}); "
+                  f"disabled for this phase")
+            self.compact_k_bbox = None
 
     def _shard_state(self):
         """(Re-)place the train state onto the mesh with its shardings —
@@ -437,9 +455,13 @@ class Trainer:
             ndc_simulate_euclid_depth=bool(
                 self.opt.get("ndc_simulate_euclid_depth", False)),
             grid_hw=grid_hw,
-            # compaction relies on alpha-mask culling, which the reference
-            # disables while blur is active (batBase.py:77)
-            compact_k=None if blur_active else self.compact_k,
+            # mask-gated compaction only without blur (the reference
+            # disables mask culling while blur is active, batBase.py:77);
+            # blur-active and pre-mask phases compact on the exact IN-BBOX
+            # gate instead (compact_k_bbox, round 4)
+            compact_k=(self.compact_k_bbox
+                       if (blur_active or self.compact_k is None)
+                       else self.compact_k),
             # dense-grid density pays an O(XYZ) per-step build: a clear win
             # for dense/blurred phases, a loss once compaction shrinks the
             # sample count (measured, scripts/densify_bench.py) — so gate it
@@ -608,6 +630,7 @@ class Trainer:
             self.n_samples = schedules.find_n_samples(
                 self.resolution, float(self.opt.nerf.step_ratio),
                 int(self.opt.nerf.sample_intvs))
+            self._refresh_bbox_k()
             # lr reset (tensorf.py:463-478)
             scale = 1.0 if self.lr_upsample_reset else (
                 self.lr_decay_target ** (it / self.max_iter))
@@ -653,10 +676,12 @@ class Trainer:
             self.n_samples = schedules.find_n_samples(
                 self.resolution, float(self.opt.nerf.step_ratio),
                 int(self.opt.nerf.sample_intvs))
+            self._refresh_bbox_k()
         self._step_cfg = None
 
     def _probe_compact_k(self, n_probe_rays: int = 4096, poses=None,
-                         intr_inv=None, pad: float = 1.25) -> Optional[int]:
+                         intr_inv=None, pad: float = 1.25,
+                         bbox_only: bool = False) -> Optional[int]:
         """Measure the worst-case number of alive samples per ray under the
         current alpha mask and pick a static compaction budget K.
 
@@ -666,8 +691,15 @@ class Trainer:
         (training poses by default; eval callers pass the poses they will
         render so the budget covers those rays) and takes the max alive
         count, padded by ``pad`` and rounded to a multiple of 64.
+
+        ``bbox_only`` measures the IN-BBOX gate alone (no mask): the K
+        budget for blur-active phases, where mask culling is disabled
+        (batBase.py:77) but out-of-bbox samples are still dead weight —
+        typically 20-35% of the S sample slots at the Blender geometry.
         """
-        if self.alpha_mask is None or self.opt.camera.get("ndc", False):
+        if self.opt.camera.get("ndc", False):
+            return None
+        if self.alpha_mask is None and not bbox_only:
             return None
         import jax.numpy as jnp
 
@@ -689,6 +721,11 @@ class Trainer:
             # stream (bisect arms must train identically with or without
             # freq.val enabled)
             probe_rng = np.random.default_rng(0)
+        if bbox_only:
+            # geometry-only probe: must not advance the training RNG stream
+            # either (it is a perf feature, not part of the protocol)
+            probe_rng = np.random.default_rng(
+                int(self.opt.get("seed", 0)) + 12345)
         n_probe_views = poses.shape[0]
         per_view = max(1, n_probe_rays // n_probe_views)
         idx = jnp.asarray(probe_rng.permutation(self.H * self.W)[:per_view])
@@ -714,6 +751,12 @@ class Trainer:
             pts, _, in_bbox = sample_ray(
                 aabb, step, S, centers, dirs, jax.random.PRNGKey(0),
                 self.near_far[0], self.near_far[1], stratified=False)
+            if bbox_only:
+                n = pts.shape[0]
+                if g > 1:
+                    ginb = jnp.any(in_bbox.reshape(n, S // g, g), axis=-1)
+                    return jnp.max(jnp.sum(ginb, axis=-1)) * g
+                return jnp.max(jnp.sum(in_bbox, axis=-1))
             from ..models.alpha_mask import AlphaMask as AM
             mask = AM(grid=mask_grid, aabb=mask_aabb)
             if g > 1:
@@ -735,8 +778,11 @@ class Trainer:
             alive = in_bbox & (a > 0)
             return jnp.max(jnp.sum(alive, axis=-1))
 
-        mx = int(alive_max(centers, dirs, aabb, self.alpha_mask.grid,
-                           self.alpha_mask.aabb))
+        mask_grid = (self.alpha_mask.grid if self.alpha_mask is not None
+                     else jnp.zeros((1, 1, 1), jnp.float32))
+        mask_aabb = (self.alpha_mask.aabb if self.alpha_mask is not None
+                     else field.aabb)
+        mx = int(alive_max(centers, dirs, aabb, mask_grid, mask_aabb))
         # round UP to a multiple of 128: [n_rays, K] puts K on the lane
         # axis, so K=192 pads to 256 anyway (measured: k192 costs the same
         # step time as k256, scripts/compact_ablate.py) — take the slack

@@ -234,3 +234,39 @@ def test_pose_gradients_flow_through_render():
     # the only remaining grad path is through sample_ray's z_vals -> dists;
     # sigma/app features see stopped coords.  Compare magnitudes.
     assert np.abs(np.asarray(g2)).max() < np.abs(np.asarray(g)).max()
+
+
+def test_bbox_compaction_exact_under_blur():
+    """Round-4: with NO alpha mask (blur-active regime, where the
+    reference disables mask culling, batBase.py:77) compaction on the
+    in-bbox gate alone must reproduce the dense render exactly when K
+    covers the worst-case in-bbox count — out-of-bbox samples contribute
+    nothing in either path."""
+    state, head, centers, dirs = setup()
+    S = 48
+    blur = BlurSpec(mode="uniform-gaussian", kernel_size=9)
+    kw = dict(blur=blur, c2f_density=jnp.float32(0.15),
+              c2f_color=jnp.float32(0.15))
+    dense = RenderConfig(n_samples=S, is_train=False)
+    rgb_d, dep_d, op_d = render(state, head, centers, dirs, dense, **kw)
+
+    # worst-case in-bbox samples for this geometry (rays near +z through
+    # a 3-unit bbox at step (6-2)/S): measure it directly
+    from joint_tensorf_tpu.render.renderer import sample_ray
+    aabb = jnp.asarray(np.array(AABB, np.float32).reshape(2, 3))
+    units = (aabb[1] - aabb[0]) / (jnp.asarray((16, 16, 16), jnp.float32) - 1)
+    step = jnp.mean(units) * CFG.step_ratio
+    _, _, inb = sample_ray(aabb, step, S, centers, dirs,
+                           jax.random.PRNGKey(1), 2.0, 6.0, stratified=False)
+    max_inb = int(jnp.max(jnp.sum(inb, axis=-1)))
+    K = min(S - 4, ((max_inb + 7) // 4) * 4)   # multiple of stride 4
+    assert K >= max_inb, "geometry must leave compaction headroom"
+
+    comp = dataclasses.replace(dense, compact_k=K, mask_stride=4)
+    rgb_c, dep_c, op_c = render(state, head, centers, dirs, comp, **kw)
+    np.testing.assert_allclose(np.asarray(rgb_c), np.asarray(rgb_d),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(op_c), np.asarray(op_d),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dep_c), np.asarray(dep_d),
+                               atol=2e-4)
