@@ -208,20 +208,53 @@ def main():
     # (~5-7% understatement of those phases).
     from joint_tensorf_tpu.render.renderer import BlurSpec
     blur = BlurSpec(mode="uniform-gaussian", kernel_size=64)
+
+    # bbox-gated compaction for the blur-active phases (round 4, mirrors
+    # trainer._refresh_bbox_k): out-of-bbox sample slots are dead weight
+    # the disabled alpha mask cannot cull; the exact in-bbox budget K is
+    # probed from the same camera geometry the bench renders.
+    def probe_bbox_k(res_p, S, stride=4):
+        from joint_tensorf_tpu.data.synthetic import sphere_poses
+        from joint_tensorf_tpu.geometry.rays import get_center_and_ray
+        from joint_tensorf_tpu.render.renderer import sample_ray
+        prng = np.random.default_rng(7)
+        poses = jnp.asarray(sphere_poses(n_views))
+        focal_p = 0.5 * 800 / np.tan(0.5 * 0.6911) * (W / 800)
+        intr_p = jnp.asarray(np.broadcast_to(
+            np.array([[focal_p, 0, W / 2], [0, focal_p, H / 2], [0, 0, 1]],
+                     dtype=np.float32), (n_views, 3, 3)))
+        idx = jnp.asarray(prng.permutation(H * W)[:64])
+        c, d = get_center_and_ray(H, W, poses, jnp.linalg.inv(intr_p),
+                                  ray_idx=idx)
+        c, d = c.reshape(-1, 3), d.reshape(-1, 3)
+        ab = jnp.asarray(np.array(aabb, np.float32).reshape(2, 3))
+        units = (ab[1] - ab[0]) / (jnp.asarray(res_p, jnp.float32) - 1)
+        step_sz = jnp.mean(units) * vm_cfg.step_ratio
+        g = stride if S % stride == 0 else 1
+        _, _, inb = sample_ray(ab, step_sz, S, c, d, jax.random.PRNGKey(0),
+                               2.0, 6.0, stratified=False)
+        ginb = jnp.any(inb.reshape(inb.shape[0], S // g, g), axis=-1)
+        mx = int(jnp.max(jnp.sum(ginb, axis=-1))) * g
+        k = min(S, max(128, int(-(-int(mx * 1.25) // 128) * 128)))
+        return None if k >= S else k
+
+    bbox_k = probe_bbox_k(res, n_samples)
     cfg = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
                      n_samples=n_samples, pose_opt=True, use_pose_noise=True,
                      densify_density=True, densify_impl="lane", app_k=app_k,
-                     blur=blur)
+                     blur=blur, compact_k=bbox_k)
     step = make_train_step(cfg, vm_cfg, head)
+    print(f"[bench] dense bbox compact_k = {bbox_k}", file=sys.stderr)
 
     # early-phase variant: the voxel schedule spends iterations 0-9000 at
     # 64^3..~300^3 with proportionally fewer samples; model it at 128^3/443
     state_e = init_train_state(jax.random.PRNGKey(0), vm_cfg, (128, 128, 128),
                                aabb, n_views)
+    bbox_k_e = probe_bbox_k((128, 128, 128), 443)
     cfg_e = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
                        n_samples=443, pose_opt=True, use_pose_noise=True,
                        densify_density=True, densify_impl="lane", app_k=app_k,
-                       blur=blur)
+                       blur=blur, compact_k=bbox_k_e)
     step_e = make_train_step(cfg_e, vm_cfg, head)
 
     # late-phase variant: alpha-mask culling + sample compaction, the regime
@@ -232,7 +265,7 @@ def main():
 
     compact_k = 256
     cfg_c = dataclasses.replace(cfg, use_alpha_mask=True,
-                                compact_k=compact_k,
+                                compact_k=compact_k, blur=None,
                                 densify_density=False, app_k=app_k)
     step_c = make_train_step(cfg_c, vm_cfg, head)
 
