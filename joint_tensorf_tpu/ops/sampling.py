@@ -263,8 +263,49 @@ _PLANE_SCATTER_IMPL = "xla"
 
 def set_plane_scatter_impl(impl: str):
     global _PLANE_SCATTER_IMPL
-    assert impl in ("xla", "segsum"), impl
+    assert impl in ("xla", "segsum", "runsum"), impl
     _PLANE_SCATTER_IMPL = impl
+
+
+def _run_compress(idx, g, levels: int = 2):
+    """March-order run compression for scatter-add updates (round 4).
+
+    Samples arrive in march order, so consecutive updates often target the
+    same destination row (measured mean run length ~2.2 per plane at the
+    compacted geometry, scripts/scatter_probe.py docstring).  This
+    pre-sums each run in windows of W = 2**levels via a segmented
+    Hillis-Steele scan (rid is nondecreasing, so rid equality at a span's
+    endpoints implies the whole span is one run), then marks every
+    non-emission row out-of-bounds — XLA drops OOB scatter rows, so IF
+    the emit loop skips them cheaply (the scatter_probe.py measurement)
+    the effective row count falls to ~runs + overflow ≈ 0.5N.
+
+    Exact up to f32 re-association (scatter-add order is unspecified
+    anyway): each element lands in exactly one emitted window (windows
+    are W-aligned within their run; emission at window-ends and run-ends
+    tiles the run).
+    """
+    N, C = g.shape
+    W = 1 << levels
+    pos = jnp.arange(N, dtype=jnp.int32)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), idx[1:] != idx[:-1]])
+    rid = jnp.cumsum(seg_start.astype(jnp.int32))
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(seg_start, pos, -1))
+    local = pos - run_start
+    wid = local >> levels                    # window id within the run
+    s = g
+    for k in range(levels):
+        sh = 1 << k
+        same = (rid[sh:] == rid[:-sh]) & (wid[sh:] == wid[:-sh])
+        mask = jnp.concatenate([jnp.zeros((sh,), bool), same])
+        shifted = jnp.concatenate([jnp.zeros((sh, C), g.dtype), s[:-sh]])
+        s = s + jnp.where(mask[:, None], shifted, 0.0)
+    run_end = jnp.concatenate([idx[1:] != idx[:-1],
+                               jnp.ones((1,), bool)])
+    emit = run_end | ((local & (W - 1)) == (W - 1))
+    return jnp.where(emit, idx, jnp.int32(2**30)), s
 
 
 def _scatter_plane_rows(idx, g4, n_rows: int):
@@ -272,6 +313,10 @@ def _scatter_plane_rows(idx, g4, n_rows: int):
         from .segment_scatter import scatter_add_rows
 
         return scatter_add_rows(idx, g4, n_rows)
+    if _PLANE_SCATTER_IMPL == "runsum":
+        idx2, g2 = _run_compress(idx, g4)
+        return jnp.zeros((n_rows, g4.shape[-1]), g4.dtype).at[idx2].add(
+            g2, mode="drop")
     return jnp.zeros((n_rows, g4.shape[-1]), g4.dtype).at[idx].add(g4)
 
 

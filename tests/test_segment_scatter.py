@@ -61,3 +61,52 @@ def test_prod_bwd_segsum_matches_xla():
     for a, b in zip(g_ref, g_new):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_runsum_compression_matches_xla_scatter():
+    """The march-order run-compression transform (ops/sampling._run_compress
+    + OOB-marked emission rows) must reproduce .at[].add exactly up to f32
+    re-association, including runs longer than the window, singleton runs,
+    adjacent runs with the same idx value elsewhere, and all-one-run."""
+    import numpy as np
+
+    from joint_tensorf_tpu.ops import sampling
+
+    rng = np.random.default_rng(0)
+    n_rows, C = 97, 8
+    # runs with lengths 1..11 (window W=4 -> overflow windows exercised)
+    lens = rng.integers(1, 12, 300)
+    vals = rng.integers(0, n_rows, 300)
+    idx = np.repeat(vals, lens).astype(np.int32)
+    N = idx.shape[0]
+    g = rng.standard_normal((N, C)).astype(np.float32)
+
+    ref = np.zeros((n_rows, C), np.float32)
+    np.add.at(ref, idx, g)
+
+    idx2, g2 = sampling._run_compress(jnp.asarray(idx), jnp.asarray(g))
+    got = jnp.zeros((n_rows, C), jnp.float32).at[idx2].add(g2, mode="drop")
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-5)
+
+    # emitted (in-bounds) rows == sum over ACTUAL runs of ceil(len/W)
+    # (adjacent generated runs with equal values merge into one run)
+    W = 4
+    run_lens = []
+    cur = 1
+    for a, b in zip(idx[:-1], idx[1:]):
+        if a == b:
+            cur += 1
+        else:
+            run_lens.append(cur)
+            cur = 1
+    run_lens.append(cur)
+    expect_rows = int(sum(-(-l // W) for l in run_lens))
+    assert int((np.asarray(idx2) < n_rows).sum()) == expect_rows
+
+    # degenerate: one giant run
+    idx1 = np.zeros(64, np.int32)
+    g1 = rng.standard_normal((64, C)).astype(np.float32)
+    i2, s2 = sampling._run_compress(jnp.asarray(idx1), jnp.asarray(g1))
+    got1 = jnp.zeros((n_rows, C), jnp.float32).at[i2].add(s2, mode="drop")
+    np.testing.assert_allclose(np.asarray(got1[0]), g1.sum(0), rtol=2e-5,
+                               atol=2e-5)
