@@ -46,3 +46,23 @@ def test_scheduler_reports_failures(tmp_path):
     results = run_scheduler(cmds, n_slots=1, poll_s=0.05)
     rcs = sorted(rc for _, rc in results)
     assert rcs == [0, 7]
+
+
+def test_bench_schedule_weights_simulation():
+    """bench.simulate_schedule_weights: derived weights must sum to 1,
+    reproduce the analytic phase boundaries (blur fully annealed at
+    progress 0.3 = first alpha-mask iteration), and confirm the round-1
+    protocol weights."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    w = bench.simulate_schedule_weights()
+    assert abs(sum(w.values()) - 1.0) < 1e-9
+    assert abs(w["early"] - 0.225) < 1e-9          # last upsample at 9k/40k
+    assert abs(w["compacted"] - 0.700) < 1e-9      # mask at 12k, blur gone
+    # pre-12k final-res iterations are blur-active on ~every iteration
+    # (color schedule >= eps until ~it 11973)
+    assert w["dense_blur"] > 0.07
+    assert w["dense_sharp"] < 0.002
