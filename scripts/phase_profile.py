@@ -11,7 +11,8 @@ Usage:
   python scripts/phase_profile.py compact
 
 Overrides: bf=1 (bfloat16 rows), app_k=N, impl=lane|packed8, rays=N,
-samples=N, res=N, reps=N.
+samples=N, res=N, reps=N, scatter=xla|segsum|runsum, compact_k=N
+(dense/early: bbox-style compaction budget).
 """
 import glob
 import gzip
@@ -40,6 +41,9 @@ from joint_tensorf_tpu.train.step import (StepConfig, StepScalars,
 
 
 def build(phase: str, kv: dict):
+    if kv.get("scatter"):
+        from joint_tensorf_tpu.ops.sampling import set_plane_scatter_impl
+        set_plane_scatter_impl(str(kv["scatter"]))
     n_views, H, W = 100, 400, 400
     n_rays_total = int(kv.get("rays", 2048))
     rays_per_view = max(1, n_rays_total // n_views)
@@ -88,6 +92,7 @@ def build(phase: str, kv: dict):
         densify_impl=str(kv.get("impl", "lane")),
         densify_dtype="bfloat16" if kv.get("bf") else "float32",
         app_k=int(kv["app_k"]) if kv.get("app_k") else 64,
+        compact_k=int(kv["compact_k"]) if kv.get("compact_k") else None,
         blur=BlurSpec(mode="uniform-gaussian", kernel_size=64)
         if blur else None)
     if phase == "compact":
