@@ -235,7 +235,8 @@ def main():
                                2.0, 6.0, stratified=False)
         ginb = jnp.any(inb.reshape(inb.shape[0], S // g, g), axis=-1)
         mx = int(jnp.max(jnp.sum(ginb, axis=-1))) * g
-        k = min(S, max(128, int(-(-int(mx * 1.25) // 128) * 128)))
+        # pad 1.0 + round-up-128 slack (geometry-static; trainer matches)
+        k = min(S, max(128, int(-(-mx // 128) * 128)))
         return None if k >= S else k
 
     bbox_k = probe_bbox_k(res, n_samples)
@@ -324,7 +325,6 @@ def main():
         (BENCH_NOTES.md), so the JSON carries median AND min/max batch
         means rather than a single draw.
         """
-        import sys
         st = state if st is None else st
         for i in range(3):
             st, metrics = run_iter(st, i, fn, mask)
@@ -345,7 +345,6 @@ def main():
         return {"median_s": med, "min_s": batch_means[0],
                 "max_s": batch_means[-1], "reps": reps, "iters": iters}
 
-    import sys
     m_early = measure(step_e, None, st=state_e)
     t_early = m_early["median_s"]
     print(f"[bench] early {t_early*1000:.1f} ms", file=sys.stderr)

@@ -330,22 +330,21 @@ def sample_lane_grid(G128, coords, Z: int, row_dtype: str = "float32"):
         rows = jnp.take(G128.reshape(X * Y * Zb, LANES), idx,
                         axis=0)                        # [N, 128]
 
-    # masked-dot extraction: lane j*4 + c carries (z_local=j, corner c)
+    # masked-dot extraction: lane j = z_local*4 + c carries corner
+    # c = dx*2 + dy at z offset (j>>2) - zl in {0, 1}.  The trilinear
+    # weight factorizes per lane — W[j] = Wz[j>>2] * wx[c>>1] * wy[c&1] —
+    # so 4 selects + 2 multiplies build W instead of round-3's 8 one-hot
+    # selects + 7 adds (same products bitwise: IEEE multiplication is
+    # commutative; ~40% less VPU work on the [N, 128] stream, measured in
+    # the round-4 dense-phase profile).
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    base = (zl * 4)[:, None]                           # [N, 1]
-    w00 = ((1 - fx) * (1 - fy))[:, None]
-    w01 = ((1 - fx) * fy)[:, None]
-    w10 = (fx * (1 - fy))[:, None]
-    w11 = (fx * fy)[:, None]
-    wz0 = (1 - fz)[:, None]
-    wz1 = fz[:, None]
+    zslot = iota >> 2                                  # 0..31 per lane
+    zl_c = zl[:, None]
+    fx_c, fy_c, fz_c = fx[:, None], fy[:, None], fz[:, None]
     zero = jnp.zeros((), G128.dtype)
-    W = (jnp.where(iota == base, w00 * wz0, zero)
-         + jnp.where(iota == base + 1, w01 * wz0, zero)
-         + jnp.where(iota == base + 2, w10 * wz0, zero)
-         + jnp.where(iota == base + 3, w11 * wz0, zero)
-         + jnp.where(iota == base + 4, w00 * wz1, zero)
-         + jnp.where(iota == base + 5, w01 * wz1, zero)
-         + jnp.where(iota == base + 6, w10 * wz1, zero)
-         + jnp.where(iota == base + 7, w11 * wz1, zero))
+    Wz = (jnp.where(zslot == zl_c, 1.0 - fz_c, zero)
+          + jnp.where(zslot == zl_c + 1, fz_c, zero))
+    Wxy = (jnp.where((iota & 2) != 0, fx_c, 1.0 - fx_c)
+           * jnp.where((iota & 1) != 0, fy_c, 1.0 - fy_c))
+    W = Wz * Wxy
     return jnp.sum(rows * W, axis=-1)

@@ -332,6 +332,14 @@ def _scatter_rows_matmul(idx, updates, n_rows: int):
     scatter.
     """
     N = idx.shape[0]
+    # NOTE (round 4): the one-hot materializes with a transposed layout
+    # (~20 ms at the dense phase's 128k appearance samples, phase_profile
+    # fusion "transpose(jvp)/eq"); all three contraction orientations
+    # (onehot^T@upd, pre-transposed onehot, upd^T@onehot + small-result
+    # transpose) measured IDENTICAL — XLA canonicalizes them to the same
+    # program, so the cost is the one-hot stream itself, not a fixable
+    # layout choice.  Kept because it still beats the XLA scatter 3x at
+    # the compacted shapes (round-3 measurement).
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (N, n_rows), 1)
               == idx[:, None]).astype(updates.dtype)
     return jax.lax.dot_general(

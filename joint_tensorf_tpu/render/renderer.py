@@ -27,6 +27,7 @@ from ..geometry.ndc import grad_rescale
 from ..models import vm as vm_lib
 from ..models import alpha_mask as am_lib
 from ..models.shading import ShadingHead
+from ..ops import composite as composite_ops
 
 
 @dataclasses.dataclass(frozen=True)
@@ -496,8 +497,9 @@ def render_rays(
 
     alpha = 1.0 - jnp.exp(-sigma * dists * cfg.distance_scale)
     one_minus = 1.0 - alpha + 1e-10
-    T_incl = jnp.cumprod(one_minus, axis=-1)
-    T_excl = jnp.concatenate([jnp.ones_like(T_incl[:, :1]), T_incl[:, :-1]], -1)
+    # analytic-VJP exclusive cumprod: autodiffing the scan costs
+    # 26 ms/step at [2000, 1000] (ops/composite.exclusive_cumprod)
+    T_excl = composite_ops.exclusive_cumprod(one_minus)
     weight = alpha * T_excl
 
     # ---------------------------------------------------------- appearance
@@ -522,12 +524,16 @@ def render_rays(
             pts_sel = jnp.take_along_axis(pts, topi2[..., None], axis=1)
             coords_sel = vm_lib.normalize_coord(pts_sel.reshape(-1, 3), aabb)
         else:
-            # one packed (z, gate) row take instead of two narrow ones
-            zg = jax.lax.stop_gradient(
-                jnp.stack([z_vals, gate.astype(weight.dtype)], axis=-1))
-            zg_sel = jnp.take_along_axis(zg, topi2[..., None], axis=1)
-            z_sel = zg_sel[..., 0]
-            gate_sel = zg_sel[..., 1]
+            # two plain [n, S] takes.  Round 3 packed these into one
+            # [n, S, 2] take, but a minor-dim-2 tensor tiles to T(8,128)
+            # on TPU — a 64x physical blowup (16 MB logical -> ~1 GB
+            # padded) that measured 26 ms in the dense step
+            # (scripts/phase_profile.py round 4, fusion.19)
+            z_sel = jnp.take_along_axis(jax.lax.stop_gradient(z_vals),
+                                        topi2, axis=1)
+            gate_sel = jnp.take_along_axis(
+                jax.lax.stop_gradient(gate.astype(weight.dtype)),
+                topi2, axis=1)
             axes_sel = tuple(centers[:, a, None] + dirs[:, a, None] * z_sel
                              for a in range(3))
             pts_sel = jnp.stack(axes_sel, axis=-1)

@@ -234,7 +234,13 @@ class Trainer:
             self.compact_k_bbox = None
             return
         try:
-            self.compact_k_bbox = self._probe_compact_k(bbox_only=True)
+            # pad 1.0: the in-bbox count is pure camera/bbox geometry
+            # (pose refinements move rays by fractions of a sample), and
+            # the round-up-to-128 leaves up to 127 slots of headroom; the
+            # mask probe's 1.25 pad would push K past S at the Blender
+            # geometry (measured max 880/1000 in-bbox, mean 541)
+            self.compact_k_bbox = self._probe_compact_k(bbox_only=True,
+                                                        pad=1.0)
         except Exception as e:  # perf feature: never block training
             print(f"[bbox_compact] probe failed ({type(e).__name__}: {e}); "
                   f"disabled for this phase")

@@ -113,7 +113,46 @@ def build(phase: str, kv: dict):
         return step(st, pose_base, intr, intr_inv, images, edges,
                     view_sel, idx, jax.random.PRNGKey(i), s, mask)
 
-    return state, it
+    def lower():
+        idx = jnp.asarray(np.arange(rays_per_view, dtype=np.int64))
+        return step.lower(state, pose_base, intr, intr_inv, images, edges,
+                          view_sel, idx, jax.random.PRNGKey(0), s, mask)
+
+    return state, it, lower
+
+
+def dump_hlo(lower, names, path="/tmp/phase_hlo.txt"):
+    """Write the optimized HLO and print each named op's definition line
+    plus its fused computation's source files, so the trace's fusion.N
+    times get real names."""
+    import re
+    txt = lower().compile().as_text()
+    with open(path, "w") as f:
+        f.write(txt)
+    print(f"HLO written to {path} ({len(txt)} bytes)")
+    for name in names:
+        m = re.search(rf"%?{re.escape(name)} = [^\n]*", txt)
+        if not m:
+            print(f"\n== {name}: NOT FOUND")
+            continue
+        line = m.group(0)
+        print(f"\n== {name}: {line[:320]}")
+        cm = re.search(r"calls=%?([\w.\-]+)", line)
+        if cm:
+            comp = cm.group(1)
+            bm = re.search(
+                rf"%?{re.escape(comp)} [^\n]*\n(.*?)\n}}", txt, re.S)
+            if bm:
+                body = bm.group(1)
+                files = re.findall(
+                    r'source_file="([^"]+)" source_line=(\d+)', body)
+                hist = {}
+                for f_, l_ in files:
+                    key = f"{f_.split('/')[-1]}:{l_}"
+                    hist[key] = hist.get(key, 0) + 1
+                top = sorted(hist.items(), key=lambda kv: -kv[1])[:8]
+                print("   sources:", ", ".join(f"{k}x{v}" for k, v in top))
+
 
 
 def parse_trace(outdir, reps):
@@ -159,7 +198,11 @@ def main():
     kv = dict(a.split("=", 1) for a in args[1:] if "=" in a)
     outdir = next((a for a in args[1:] if "=" not in a), "/tmp/jtf_profile")
     reps = int(kv.get("reps", 8))
-    state, it = build(phase, kv)
+    state, it, lower = build(phase, kv)
+    if kv.get("dump"):
+        dump_hlo(lower, [x for x in kv["dump"].split(",") if x])
+        if kv.get("dump_only"):
+            return
     st = state
     for i in range(3):
         st, m = it(st, i)

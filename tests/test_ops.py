@@ -281,3 +281,33 @@ def test_discrete_gaussian_kernel():
     k = np.asarray(discrete_gaussian_kernel(2.0, 65))
     np.testing.assert_allclose(k.sum(), 1.0, atol=1e-6)
     np.testing.assert_allclose(k, k[::-1], atol=1e-7)
+
+
+def test_exclusive_cumprod_analytic_vjp_matches_autodiff():
+    """ops/composite.exclusive_cumprod: values equal the cumprod
+    formulation and its analytic VJP equals autodiff, including saturated
+    rays (one_minus -> 1e-10) and fully transparent rays."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from joint_tensorf_tpu.ops import composite as C
+
+    rng = np.random.default_rng(0)
+    alpha = rng.random((16, 64)).astype(np.float32)
+    alpha[0] = 0.9999999     # saturated: one_minus == 1e-10
+    alpha[1] = 0.0           # transparent
+    om = jnp.asarray(1.0 - alpha + 1e-10)
+
+    def ref(om):
+        T = jnp.cumprod(om, axis=-1)
+        return jnp.concatenate([jnp.ones_like(T[:, :1]), T[:, :-1]], -1)
+
+    np.testing.assert_allclose(np.asarray(C.exclusive_cumprod(om)),
+                               np.asarray(ref(om)), rtol=1e-6, atol=1e-7)
+
+    d_out = jnp.asarray(rng.standard_normal((16, 64)), jnp.float32)
+    g_ref = jax.grad(lambda x: jnp.sum(ref(x) * d_out))(om)
+    g_new = jax.grad(lambda x: jnp.sum(C.exclusive_cumprod(x) * d_out))(om)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
