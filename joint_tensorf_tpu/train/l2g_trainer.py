@@ -50,6 +50,20 @@ class L2GTrainer(Trainer):
             self.n_views, self.pose_base,
             init_scale=float(opt.arch.tensorf.get("volume_init_scale", 0.1)),
             init_bias=float(opt.arch.tensorf.get("volume_init_bias", 0.0)))
+        # the base-class __init__ probed the bbox compaction budget against
+        # the interim TrainState, where get_all_training_poses (which reads
+        # state.optimised_poses here) fails and the probe self-disables —
+        # re-probe now that the L2G state exists
+        self._refresh_bbox_k()
+
+    def _refresh_bbox_k(self):
+        if not hasattr(self.state, "optimised_poses"):
+            # base-class __init__ runs before the L2G state replaces the
+            # interim TrainState; the real probe happens at the end of
+            # __init__ (and at phase transitions as usual)
+            self.compact_k_bbox = None
+            return
+        super()._refresh_bbox_k()
 
     def _make_raw_step(self, cfg: StepConfig, jit: bool):
         return make_l2g_train_step(cfg, self.l2g_cfg, self.vm_cfg, self.head,
