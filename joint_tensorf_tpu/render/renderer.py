@@ -80,6 +80,14 @@ class RenderConfig:
     # dense-phase HBM traffic; gradients stay float32 (ops/lane_grid.py
     # _bf16_row_gather)
     densify_dtype: str = "float32"
+    # apply the alpha-mask gate DURING blur-active rendering.  The caller
+    # must then pass a mask dilated by the blur kernel's support radius
+    # (models/alpha_mask.dilate_mask): the factor blur is an exact 3D
+    # convolution of the density field with a normalized positive kernel
+    # (the paper's separability identity), so the dilated sharp mask is a
+    # conservative occupancy gate for the blurred field.  The reference
+    # simply disables culling under blur (batBase.py:76-82).
+    mask_with_blur: bool = False
     # two-stage appearance: compute appearance/shading only on the top-app_k
     # samples per ray by compositing weight (the TPU analogue of the
     # reference's dynamic weight>thres gather, tensorBase.py:773-783).
@@ -220,7 +228,14 @@ def render_rays(
     n = centers.shape[0]
     S = rcfg.n_samples
     resolution = state.resolution()
-    aabb = state.aabb
+    # aabb is a BUFFER, not a parameter (the reference registers it with
+    # requires_grad=False, tensorBase.py:430): pose/plane gradients flow
+    # through the sampling coordinates, never into the box itself.  Without
+    # this stop_gradient a non-finite cotangent anywhere upstream of a
+    # normalize_coord reaches the aabb leaf, and Adam's `p - 0*NaN` then
+    # poisons the box permanently (the round-4 appknone arm died this way
+    # at the it-1000 upsample: NaN aabb -> negative resolution).
+    aabb = jax.lax.stop_gradient(state.aabb)
     aabb_size = aabb[1] - aabb[0]
 
     rng_samp, rng_bg = jax.random.split(rng)
@@ -267,7 +282,8 @@ def render_rays(
     group_alpha = None     # [n, S//stride] bool, for group-level compaction
     use_group = False
     stride = 1
-    if rcfg.use_alpha_mask and alpha_mask is not None and not blur_active:
+    if rcfg.use_alpha_mask and alpha_mask is not None and \
+            (not blur_active or rcfg.mask_with_blur):
         # strided lookup: consecutive samples are ~step_ratio/2 grid cells
         # (~0.27 mask cells at the usual mask:grid resolution ratio) apart
         # while the mask's maxpool(5) build dilates the alive set by ~2

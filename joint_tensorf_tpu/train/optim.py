@@ -59,10 +59,14 @@ def adam_update(grads, state: AdamState, params, lr_tree,
 
     # update math in float32; result cast back to the parameter's storage
     # dtype (no-op for float32 params)
+    # zero-lr leaves (aabb, frozen groups) are EXACTLY frozen: `p - 0*m`
+    # would still propagate a non-finite moment into the parameter
+    # (0 * NaN = NaN), so select the old value instead of scaling by 0
     new_params = jax.tree.map(
-        lambda p, m, v, lr: (p.astype(jnp.float32)
-                             - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-                             ).astype(p.dtype),
+        lambda p, m, v, lr: jnp.where(
+            lr == 0.0, p.astype(jnp.float32),
+            p.astype(jnp.float32)
+            - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)).astype(p.dtype),
         params, mu, nu, lr_tree,
     )
     return new_params, AdamState(mu=mu, nu=nu, count=count)
