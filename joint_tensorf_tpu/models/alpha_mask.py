@@ -132,6 +132,32 @@ def _maxpool3d_same(x, k: int = 5):
     )
 
 
+def dilate_mask(mask: AlphaMask, radius) -> AlphaMask:
+    """Max-pool-dilate a mask by ``radius`` cells per axis (int or 3-tuple).
+
+    Used for BLUR-ACTIVE culling (trainer._refresh_blur_mask): the paper's
+    separability identity makes the component-wise factor blur an EXACT 3D
+    convolution of the density field with a normalized positive separable
+    kernel, so
+
+        blurred_alpha(x) <= max_{|d_i| <= r_i cells} sharp_alpha(x + d)
+
+    for any radius covering the kernel support — the dilated sharp mask is
+    a conservative occupancy gate for the blurred field (same approximation
+    class as the reference's own culling threshold, tensorBase.py:750-755;
+    the reference simply disables culling under blur, batBase.py:76-82).
+    """
+    if isinstance(radius, int):
+        radius = (radius, radius, radius)
+    rx, ry, rz = (int(r) for r in radius)
+    g = jax.lax.reduce_window(
+        mask.grid, -jnp.inf, jax.lax.max,
+        window_dimensions=(2 * rx + 1, 2 * ry + 1, 2 * rz + 1),
+        window_strides=(1, 1, 1),
+        padding=((rx, rx), (ry, ry), (rz, rz)))
+    return AlphaMask(grid=g, aabb=mask.aabb, packed=pack_neighborhoods(g))
+
+
 def update_alpha_mask(state: vm_lib.VMState, cfg: vm_lib.VMConfig, grid_size,
                       step_size: float, alpha_thresh: float):
     """Recompute the mask; returns (AlphaMask, proposed new aabb [2,3] np).

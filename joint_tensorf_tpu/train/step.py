@@ -116,6 +116,7 @@ class StepConfig:
     densify_dtype: str = "float32"              # grid-row gather dtype
     app_k: Optional[int] = None                 # two-stage appearance top-K2
     mask_stride: int = 4                        # alpha-probe stride (renderer)
+    mask_with_blur: bool = False                # dilated-mask culling under blur
 
     def render_config(self, is_train: bool) -> RenderConfig:
         return RenderConfig(
@@ -134,6 +135,7 @@ class StepConfig:
             densify_dtype=self.densify_dtype,
             app_k=self.app_k,
             mask_stride=self.mask_stride,
+            mask_with_blur=self.mask_with_blur,
             # compaction already bounds backward residuals; skip the
             # recompute overhead there.  Feature remat is obsolete with the
             # fused-product custom VJP (tiny residuals) — keep it off.

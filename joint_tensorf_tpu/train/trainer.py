@@ -227,9 +227,20 @@ class Trainer:
         # IN-BBOX gate is exact under blur — compact to the measured
         # worst-case in-bbox count instead.
         self.compact_k_bbox: Optional[int] = None
+        # dilated-mask compaction budget for blur-active phases (round 4,
+        # VERDICT round-3 #2): built lazily by _refresh_blur_mask once the
+        # resolution is final and blur is still active
+        self.alpha_mask_blur: Optional[AlphaMask] = None
+        self.compact_k_blur: Optional[int] = None
+        self._blur_mask_built_at: Optional[int] = None
         self._refresh_bbox_k()
 
     def _refresh_bbox_k(self):
+        # any phase transition (upsample/shrink/alphamask rebuild) changes
+        # shapes and the field — the blur mask must be rebuilt from scratch
+        self.alpha_mask_blur = None
+        self.compact_k_blur = None
+        self._blur_mask_built_at = None
         if not bool(self.opt.tpu.get("bbox_compact", True)):
             self.compact_k_bbox = None
             return
@@ -245,6 +256,114 @@ class Trainer:
             print(f"[bbox_compact] probe failed ({type(e).__name__}: {e}); "
                   f"disabled for this phase")
             self.compact_k_bbox = None
+
+    def _blur_sigma_max(self, lookahead_iters: int) -> float:
+        """Upper bound on the density-blur world sigma over the next
+        ``lookahead_iters`` iterations (the window until the next blur-mask
+        refresh).  The random scale pool only attenuates the schedule value
+        (pools are <= 1 by protocol, but max(pool) is used, not assumed),
+        and the schedule is sampled across the whole window so nonmonotone
+        schedules stay covered."""
+        opt = self.opt
+        p0 = self.progress
+        p1 = min(1.0, (self.it + lookahead_iters) / self.max_iter)
+        d = max(float(schedules.interp_schedule(p, opt.c2f_schedule_density))
+                for p in np.linspace(p0, p1, 17))
+        if opt.get("c2f_random_density_blur"):
+            pool = (self.scale_pool_2d if opt.get("sync_2d_3d_scales")
+                    else list(opt.c2f_random_density_scale_pool))
+            d *= max(float(s) for s in pool)
+        return d
+
+    def _blur_dilate_radius(self, lookahead_iters: int) -> int:
+        """Mask-cell dilation radius covering the blur kernel's support.
+
+        The kernel is built in factor-grid index units with
+        grid_scale = mean(res / aabb_size) (renderer.py blur-mats block,
+        batBase.py:13-25 semantics); the mask here is built at the SAME
+        resolution and aabb as the factor grids, so kernel taps and mask
+        cells coincide.  Gaussian support is truncated at 5*sigma (tail
+        mass < 1e-6, far below the alpha threshold this gate shares with
+        the reference's own culling) and at the kernel's static half-width.
+        """
+        opt = self.opt
+        smax = self._blur_sigma_max(lookahead_iters)
+        res = np.asarray(self.resolution, np.float64)
+        aabb = np.asarray(self.state.params.field.aabb, np.float64)
+        grid_scale = float(np.mean(res / (aabb[1] - aabb[0])))
+        sig_grid = smax * grid_scale
+        if str(opt.get("c2f_mode", "uniform-gaussian")) == "uniform-average":
+            r = int(np.ceil(sig_grid)) + 1
+        else:
+            r = int(np.ceil(5.0 * sig_grid)) + 1
+        return max(1, min(int(opt.c2f_kernel_size) // 2, r))
+
+    def _refresh_blur_mask(self):
+        """Dilated-mask culling for BLUR-ACTIVE phases (VERDICT round-3 #2).
+
+        The reference disables alpha-mask culling while the factor blur is
+        active (batBase.py:76-82) because the sharp mask is wrong for the
+        blurred field.  But the paper's own separability identity makes a
+        conservative mask cheap: blurring the factors IS an exact 3D
+        convolution of the density field with a normalized positive
+        separable kernel, so blurred_alpha(x) <= max over the kernel
+        support of sharp_alpha — a sharp mask max-pool-dilated by the
+        support radius can only over-include (models/alpha_mask.dilate_mask).
+        Same approximation class as the reference's own culling threshold.
+
+        Built lazily once the resolution is final (at growing resolutions
+        the dilation radius covers most of the coarse grid) and refreshed
+        every ``tpu.blur_mask_refresh`` iterations so new density appearing
+        near the support boundary is re-covered and the shrinking sigma
+        tightens the radius.  Flag: ``tpu.blur_mask_compact``.
+        """
+        opt = self.opt
+        if not bool(opt.tpu.get("blur_mask_compact", True)):
+            return
+        if opt.camera.get("ndc", False):
+            return
+        res = self.resolution
+        if res[0] * res[1] * res[2] >= 256 ** 3:
+            return  # same guard as the scheduled mask build
+        if self.upsample_iters and self.it < self.upsample_iters[-1]:
+            return
+        refresh = int(opt.tpu.get("blur_mask_refresh", 1000))
+        if self._blur_mask_built_at is not None and \
+                self.it - self._blur_mask_built_at < refresh:
+            return
+        try:
+            from ..models.alpha_mask import dilate_mask
+
+            radius = self._blur_dilate_radius(refresh)
+            field = self.state.params.field
+            step = schedules.step_size(np.asarray(field.aabb), res,
+                                       float(self.opt.nerf.step_ratio))
+            mask, _ = update_alpha_mask(field, self.vm_cfg, list(res), step,
+                                        self.alphamask_thresh)
+            mask = dilate_mask(mask, radius)
+            k = self._probe_compact_k(mask=mask)
+            self._blur_mask_built_at = self.it
+            if k != self.compact_k_blur:
+                self._step_cfg = None  # K changed: rebuild the blur step
+            if k is None:
+                # dilated mask leaves (almost) every sample alive — fall
+                # back to the bbox-gated budget for this window
+                self.alpha_mask_blur = None
+                self.compact_k_blur = None
+                return
+            self.alpha_mask_blur = mask
+            self.compact_k_blur = k
+            print(f"[blur_mask] it {self.it}: dilation r={radius} cells -> "
+                  f"compact_k_blur={k} of S={self.n_samples} "
+                  f"(bbox budget {self.compact_k_bbox})")
+        except Exception as e:  # perf feature: never block training
+            print(f"[blur_mask] refresh failed ({type(e).__name__}: {e}); "
+                  f"disabled for this window")
+            if self.compact_k_blur is not None:
+                self._step_cfg = None
+            self.alpha_mask_blur = None
+            self.compact_k_blur = None
+            self._blur_mask_built_at = self.it
 
     def _shard_state(self):
         """(Re-)place the train state onto the mesh with its shardings —
@@ -440,6 +559,9 @@ class Trainer:
     # ---------------------------------------------------------- step builder
     def _ensure_step(self, strategy: str, n_rays: int, blur_active: bool,
                      grid_hw):
+        # blur-active culling: use the dilated mask + its measured budget
+        # when available (_refresh_blur_mask), else the exact in-bbox gate
+        mask_with_blur = blur_active and self.compact_k_blur is not None
         cfg = StepConfig(
             H=self.H, W=self.W, n_views=self.n_views,
             rays_per_view=n_rays, n_samples=self.n_samples,
@@ -452,7 +574,8 @@ class Trainer:
             stratified=bool(self.opt.nerf.get("sample_stratified", True)),
             detach_viewdirs=bool(self.opt.arch.shading.get("detach_viewdirs", True)),
             detach_xyz=bool(self.opt.arch.shading.get("detach_xyz", True)),
-            use_alpha_mask=self.alpha_mask is not None,
+            use_alpha_mask=(self.alpha_mask is not None) or mask_with_blur,
+            mask_with_blur=mask_with_blur,
             mlp_predict_density=bool(
                 self.opt.arch.shading.get("predict_density", False)),
             ndc_near_plane=float(self.opt.arch.get("ndc_near_plane", 1.0)),
@@ -465,9 +588,10 @@ class Trainer:
             # disables mask culling while blur is active, batBase.py:77);
             # blur-active and pre-mask phases compact on the exact IN-BBOX
             # gate instead (compact_k_bbox, round 4)
-            compact_k=(self.compact_k_bbox
-                       if (blur_active or self.compact_k is None)
-                       else self.compact_k),
+            compact_k=(self.compact_k_blur if mask_with_blur
+                       else (self.compact_k_bbox
+                             if (blur_active or self.compact_k is None)
+                             else self.compact_k)),
             # dense-grid density pays an O(XYZ) per-step build: a clear win
             # for dense/blurred phases, a loss once compaction shrinks the
             # sample count (measured, scripts/densify_bench.py) — so gate it
@@ -546,6 +670,8 @@ class Trainer:
 
         c2f_d, c2f_c, sc2d = self._c2f_params()
         blur_spec = self._blur_spec(c2f_d, c2f_c)
+        if blur_spec is not None:
+            self._refresh_blur_mask()
 
         # pick the blurred GT + edge masks for this iteration's 2D scale
         if self.blur_2d:
@@ -589,12 +715,15 @@ class Trainer:
 
         step = self._ensure_step(strategy, len(ray_idx), blur_spec is not None,
                                  grid_hw)
+        step_mask = self.alpha_mask
+        if blur_spec is not None and self.compact_k_blur is not None:
+            step_mask = self.alpha_mask_blur
         self.key, step_key = jax.random.split(self.key)
         self.state, metrics = step(
             self.state, self.pose_base, self.intr, self.intr_inv,
             self.current_images, self.current_edges,
             jnp.asarray(view_sel), jnp.asarray(ray_idx), step_key, scalars,
-            self.alpha_mask)
+            step_mask)
         return metrics
 
     def _tv_depth_weight(self, grid_hw) -> float:
@@ -687,7 +816,8 @@ class Trainer:
 
     def _probe_compact_k(self, n_probe_rays: int = 4096, poses=None,
                          intr_inv=None, pad: float = 1.25,
-                         bbox_only: bool = False) -> Optional[int]:
+                         bbox_only: bool = False,
+                         mask: Optional[AlphaMask] = None) -> Optional[int]:
         """Measure the worst-case number of alive samples per ray under the
         current alpha mask and pick a static compaction budget K.
 
@@ -705,7 +835,8 @@ class Trainer:
         """
         if self.opt.camera.get("ndc", False):
             return None
-        if self.alpha_mask is None and not bbox_only:
+        probe_mask = mask if mask is not None else self.alpha_mask
+        if probe_mask is None and not bbox_only:
             return None
         import jax.numpy as jnp
 
@@ -727,9 +858,9 @@ class Trainer:
             # stream (bisect arms must train identically with or without
             # freq.val enabled)
             probe_rng = np.random.default_rng(0)
-        if bbox_only:
-            # geometry-only probe: must not advance the training RNG stream
-            # either (it is a perf feature, not part of the protocol)
+        if bbox_only or mask is not None:
+            # geometry-only and blur-mask probes: must not advance the
+            # training RNG stream either (perf features, not protocol)
             probe_rng = np.random.default_rng(
                 int(self.opt.get("seed", 0)) + 12345)
         n_probe_views = poses.shape[0]
@@ -784,9 +915,9 @@ class Trainer:
             alive = in_bbox & (a > 0)
             return jnp.max(jnp.sum(alive, axis=-1))
 
-        mask_grid = (self.alpha_mask.grid if self.alpha_mask is not None
+        mask_grid = (probe_mask.grid if probe_mask is not None
                      else jnp.zeros((1, 1, 1), jnp.float32))
-        mask_aabb = (self.alpha_mask.aabb if self.alpha_mask is not None
+        mask_aabb = (probe_mask.aabb if probe_mask is not None
                      else field.aabb)
         mx = int(alive_max(centers, dirs, aabb, mask_grid, mask_aabb))
         # round UP to a multiple of 128: [n_rays, K] puts K on the lane
