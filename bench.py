@@ -213,7 +213,7 @@ def main():
     # trainer._refresh_bbox_k): out-of-bbox sample slots are dead weight
     # the disabled alpha mask cannot cull; the exact in-bbox budget K is
     # probed from the same camera geometry the bench renders.
-    def probe_bbox_k(res_p, S, stride=4):
+    def probe_bbox_k(res_p, S, stride=4, mask=None, pad=1.0):
         from joint_tensorf_tpu.data.synthetic import sphere_poses
         from joint_tensorf_tpu.geometry.rays import get_center_and_ray
         from joint_tensorf_tpu.render.renderer import sample_ray
@@ -231,12 +231,19 @@ def main():
         units = (ab[1] - ab[0]) / (jnp.asarray(res_p, jnp.float32) - 1)
         step_sz = jnp.mean(units) * vm_cfg.step_ratio
         g = stride if S % stride == 0 else 1
-        _, _, inb = sample_ray(ab, step_sz, S, c, d, jax.random.PRNGKey(0),
-                               2.0, 6.0, stratified=False)
-        ginb = jnp.any(inb.reshape(inb.shape[0], S // g, g), axis=-1)
-        mx = int(jnp.max(jnp.sum(ginb, axis=-1))) * g
-        # pad 1.0 + round-up-128 slack (geometry-static; trainer matches)
-        k = min(S, max(128, int(-(-mx // 128) * 128)))
+        pts, _, inb = sample_ray(ab, step_sz, S, c, d, jax.random.PRNGKey(0),
+                                 2.0, 6.0, stratified=False)
+        galive = jnp.any(inb.reshape(inb.shape[0], S // g, g), axis=-1)
+        if mask is not None:
+            # the renderer's exact group gate: first-of-group alpha probe
+            # AND any-in-bbox (trainer._probe_compact_k semantics)
+            from joint_tensorf_tpu.models.alpha_mask import sample_alpha
+            a = sample_alpha(mask, pts[:, ::g].reshape(-1, 3)
+                             ).reshape(inb.shape[0], S // g)
+            galive = galive & (a > 0)
+        mx = int(jnp.max(jnp.sum(galive, axis=-1))) * g
+        # bbox: pad 1.0 (geometry-static); mask: pad 1.25 (trainer matches)
+        k = min(S, max(128, int(-(-int(mx * pad) // 128) * 128)))
         return None if k >= S else k
 
     bbox_k = probe_bbox_k(res, n_samples)
@@ -309,6 +316,42 @@ def main():
     alpha_mask = AlphaMask(grid=occ_grid, aabb=state.params.field.aabb,
                            packed=pack_neighborhoods(occ_grid))
 
+    # Round-4: the trainer culls BLUR-ACTIVE iterations with a dilated
+    # sharp mask once the resolution is final (trainer._refresh_blur_mask)
+    # — mirror it for the dense phase.  Sharp mask: a solids-like set of
+    # opaque balls (~15% occupancy) at the dense resolution; dilation
+    # radius from the dense_blur window's worst-case sigma (it 9000-10000
+    # of the 40k schedule: sigma_world <= 0.0525, grid_scale = 100 ->
+    # r = ceil(5 * 5.25) + 1 = 28, capped at kernel_size//2 = 32).
+    from joint_tensorf_tpu.models.alpha_mask import dilate_mask
+    sig_w = 0.0525
+    grid_scale = float(np.mean(np.asarray(res, np.float64) / 3.0))
+    r_blur = max(1, min(64 // 2, int(np.ceil(5.0 * sig_w * grid_scale)) + 1))
+    ball_rng = np.random.default_rng(11)
+    ax = np.linspace(-1.5, 1.5, res[0], dtype=np.float32)
+    BX, BY, BZ = np.meshgrid(ax, ax, ax, indexing="ij")
+    sharp = np.zeros(res, np.float32)
+    for _ in range(6):
+        cx, cy, cz = ball_rng.uniform(-0.9, 0.9, 3)
+        rad = ball_rng.uniform(0.25, 0.45)
+        sharp[(BX - cx) ** 2 + (BY - cy) ** 2 + (BZ - cz) ** 2
+              < rad * rad] = 1.0
+    sharp_mask = AlphaMask(grid=jnp.asarray(sharp),
+                           aabb=state.params.field.aabb)
+    blur_mask = dilate_mask(sharp_mask, r_blur)
+    blur_k = probe_bbox_k(res, n_samples, mask=blur_mask, pad=1.25)
+    if bbox_k is not None and blur_k is not None:
+        blur_k = min(blur_k, bbox_k)
+    print(f"[bench] dense blur-mask: sharp occ "
+          f"{float(sharp_mask.grid.mean()):.3f} -> dilated(r={r_blur}) occ "
+          f"{float(blur_mask.grid.mean()):.3f}, compact_k_blur = {blur_k}",
+          file=sys.stderr)
+    step_bm = None
+    if blur_k is not None and (bbox_k is None or blur_k < bbox_k):
+        cfg_bm = dataclasses.replace(cfg, use_alpha_mask=True,
+                                     mask_with_blur=True, compact_k=blur_k)
+        step_bm = make_train_step(cfg_bm, vm_cfg, head)
+
     def run_iter(st, i, fn, mask):
         idx = jnp.asarray(rng.permutation(H * W)[:rays_per_view]
                           .astype(np.int64))
@@ -348,9 +391,17 @@ def main():
     m_early = measure(step_e, None, st=state_e)
     t_early = m_early["median_s"]
     print(f"[bench] early {t_early*1000:.1f} ms", file=sys.stderr)
-    m_dense = measure(step, None)
+    m_dense_bbox = measure(step, None)
+    m_dense = m_dense_bbox
+    if step_bm is not None:
+        # trainer default (tpu.blur_mask_compact): dilated-mask culling —
+        # this is the dense_blur phase's real step; keep the bbox-only
+        # number as detail for attribution
+        m_dense = measure(step_bm, blur_mask)
     t_dense = m_dense["median_s"]
-    print(f"[bench] dense {t_dense*1000:.1f} ms", file=sys.stderr)
+    print(f"[bench] dense {t_dense*1000:.1f} ms "
+          f"(bbox-only {m_dense_bbox['median_s']*1000:.1f} ms)",
+          file=sys.stderr)
     m_compact = measure(step_c, alpha_mask)
     t_compact = m_compact["median_s"]
     print(f"[bench] compact {t_compact*1000:.1f} ms", file=sys.stderr)
@@ -453,6 +504,13 @@ def main():
                    "median_of": m_compact["reps"],
                    "compact_k": compact_k, "n_rays": n_rays,
                    "n_samples": n_samples,
+                   "dense_blur_mask": {
+                       "enabled": step_bm is not None,
+                       "compact_k_blur": blur_k,
+                       "compact_k_bbox": bbox_k,
+                       "dilate_radius_cells": r_blur,
+                       "ms_dense_bbox_only": round(
+                           m_dense_bbox["median_s"] * 1000, 1)},
                    "phase_weights_simulated": {k: round(v, 4)
                                                for k, v in w.items()},
                    "weightings": {

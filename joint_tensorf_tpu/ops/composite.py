@@ -5,12 +5,22 @@ T = exclusive cumprod of (1 - alpha + 1e-10), weights = alpha * T.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 
+def _exclusive_cumprod_autodiff(one_minus):
+    """Autodiff fallback (debug: JTF_CUMPROD_AUTODIFF=1) — the scan
+    transpose costs ~26 ms/step at [2000,1000] but has no custom math."""
+    T_incl = jnp.cumprod(one_minus, axis=-1)
+    return jnp.concatenate(
+        [jnp.ones_like(T_incl[:, :1]), T_incl[:, :-1]], axis=-1)
+
+
 @jax.custom_vjp
-def exclusive_cumprod(one_minus):
+def _exclusive_cumprod_analytic(one_minus):
     """T_excl[i] = prod_{j<i} one_minus[j] along the last axis, with an
     ANALYTIC VJP.
 
@@ -33,22 +43,46 @@ def exclusive_cumprod(one_minus):
 
 
 def _excl_cumprod_fwd(one_minus):
-    T_excl = exclusive_cumprod(one_minus)
+    T_excl = _exclusive_cumprod_analytic(one_minus)
     return T_excl, (one_minus, T_excl)
 
 
 def _excl_cumprod_bwd(res, dT):
     one_minus, T_excl = res
-    s = dT * T_excl
-    # suffix[j] = sum_{i > j} s_i: reverse-inclusive cumsum shifted left
-    # (flip-cumsum-flip, no total-minus-prefix cancellation)
-    rev = jnp.flip(jnp.cumsum(jnp.flip(s, axis=-1), axis=-1), axis=-1)
-    suffix = jnp.concatenate(
-        [rev[:, 1:], jnp.zeros_like(rev[:, :1])], axis=-1)
-    return (suffix / one_minus,)
+    # DIVISION-FREE analytic gradient (round 4).  The round-3 form computed
+    # suffix_j / om_j — exact algebra, but the division sat inside a
+    # compiled fusion where a saturated-ray corner produced NaN gradients
+    # on TPU (the appknone arm died at it 781 with loss still finite; the
+    # same inputs replayed UN-jitted were clean, scripts/debug_appknone.py).
+    # Equivalent form without any division:
+    #     d_om_j = T_excl_j * B_j,   B_j = sum_{i>j} dT_i * prod_{j<k<i} om_k
+    # via the reverse linear recurrence B_j = dT_{j+1} + om_{j+1} * B_{j+1},
+    # computed with one log-depth associative scan (same cost class as the
+    # old flip-cumsum-flip).  Exactness vs autodiff pinned in tests/test_ops.py
+    # including exactly-saturated rays (alpha == 1.0 -> om == 1e-10).
+    om_r = jnp.flip(one_minus, axis=-1)
+    dT_r = jnp.flip(dT, axis=-1)
+    A = jnp.concatenate([jnp.ones_like(om_r[:, :1]), om_r[:, :-1]], axis=-1)
+    B = jnp.concatenate([jnp.zeros_like(dT_r[:, :1]), dT_r[:, :-1]], axis=-1)
+
+    def comb(left, right):
+        Al, Bl = left
+        Ar, Br = right
+        return Al * Ar, Bl * Ar + Br
+
+    _, Bfull = jax.lax.associative_scan(comb, (A, B), axis=-1)
+    return (T_excl * jnp.flip(Bfull, axis=-1),)
 
 
-exclusive_cumprod.defvjp(_excl_cumprod_fwd, _excl_cumprod_bwd)
+_exclusive_cumprod_analytic.defvjp(_excl_cumprod_fwd, _excl_cumprod_bwd)
+
+
+def exclusive_cumprod(one_minus):
+    """T_excl[i] = prod_{j<i} one_minus[j]; analytic VJP by default,
+    autodiff scan via JTF_CUMPROD_AUTODIFF=1 (debug escape hatch)."""
+    if os.environ.get("JTF_CUMPROD_AUTODIFF", "0") == "1":
+        return _exclusive_cumprod_autodiff(one_minus)
+    return _exclusive_cumprod_analytic(one_minus)
 
 
 def raw2alpha(sigma, dists):

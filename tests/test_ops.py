@@ -295,8 +295,10 @@ def test_exclusive_cumprod_analytic_vjp_matches_autodiff():
 
     rng = np.random.default_rng(0)
     alpha = rng.random((16, 64)).astype(np.float32)
-    alpha[0] = 0.9999999     # saturated: one_minus == 1e-10
+    alpha[0] = 0.9999999     # near-saturated
     alpha[1] = 0.0           # transparent
+    alpha[2] = 1.0           # EXACTLY saturated: one_minus == 1e-10
+    alpha[3, ::3] = 1.0      # repeated exact saturation (T underflows to 0)
     om = jnp.asarray(1.0 - alpha + 1e-10)
 
     def ref(om):
