@@ -187,6 +187,17 @@ def main():
     res = (300, 300, 300)
     n_rays_total = 2048
     n_samples = 1000
+    reps, iters_per_rep = 5, 10
+    if os.environ.get("JTF_BENCH_SMALL") == "1":
+        # CPU smoke mode: exercises the FULL bench code path (probes, mask
+        # construction, step builds, roofline, JSON emit) at toy shapes so
+        # bench edits can be validated without claiming the TPU.  The
+        # numbers it prints are NOT measurements.
+        n_views, H, W = 8, 64, 64
+        res = (48, 48, 48)
+        n_rays_total = 256
+        n_samples = 256
+        reps, iters_per_rep = 2, 2
 
     vm_cfg = vm_lib.VMConfig()  # defaults match the Blender config
     head = vm_cfg.shading_head()
@@ -271,7 +282,7 @@ def main():
 
     from joint_tensorf_tpu.models.alpha_mask import AlphaMask, pack_neighborhoods
 
-    compact_k = 256
+    compact_k = min(256, n_samples // 2)
     cfg_c = dataclasses.replace(cfg, use_alpha_mask=True,
                                 compact_k=compact_k, blur=None,
                                 densify_density=False, app_k=app_k)
@@ -305,7 +316,8 @@ def main():
         pose_do_step=jnp.float32(1.0), tv_depth_weight=jnp.float32(0.0))
 
     # a plausible late-phase alpha mask: ~15% occupancy blobs
-    occ = (rng.random((160, 160, 160)) < 0.001).astype(np.float32)
+    mres = 160 if n_samples >= 1000 else 48
+    occ = (rng.random((mres, mres, mres)) < 0.001).astype(np.float32)
     try:
         from scipy import ndimage
 
@@ -325,6 +337,8 @@ def main():
     # r = ceil(5 * 5.25) + 1 = 28, capped at kernel_size//2 = 32).
     from joint_tensorf_tpu.models.alpha_mask import dilate_mask
     sig_w = 0.0525
+    if os.environ.get("JTF_BENCH_SMALL") == "1":
+        sig_w = 0.005   # small dilation so the smoke exercises the branch
     grid_scale = float(np.mean(np.asarray(res, np.float64) / 3.0))
     r_blur = max(1, min(64 // 2, int(np.ceil(5.0 * sig_w * grid_scale)) + 1))
     ball_rng = np.random.default_rng(11)
@@ -359,7 +373,7 @@ def main():
         return fn(st, pose_base, intr, intr_inv, images, edges, view_sel,
                   idx, key, s, mask)
 
-    def measure(fn, mask, iters=10, reps=5, st=None):
+    def measure(fn, mask, iters=iters_per_rep, reps=reps, st=None):
         """Median-of-``reps`` pipelined batches (+ batch spread).
 
         Each batch chains ``iters`` steps through the state dependency with
