@@ -95,6 +95,28 @@ def build(phase: str, kv: dict):
         compact_k=int(kv["compact_k"]) if kv.get("compact_k") else None,
         blur=BlurSpec(mode="uniform-gaussian", kernel_size=64)
         if blur else None)
+    if kv.get("blurmask") and phase in ("dense", "early"):
+        # dilated-mask blur-active culling (bench.py dense_blur_mask
+        # mirror): solids-like opaque balls -> dilate by the kernel
+        # support radius; K from compact_k= (default 512; read the real
+        # probed value off bench.py's "[bench] dense blur-mask" line)
+        from joint_tensorf_tpu.models.alpha_mask import dilate_mask
+        ball_rng = np.random.default_rng(11)
+        axl = np.linspace(-1.5, 1.5, res[0], dtype=np.float32)
+        BX, BY, BZ = np.meshgrid(axl, axl, axl, indexing="ij")
+        sharp = np.zeros(res, np.float32)
+        for _ in range(6):
+            cx, cy, cz = ball_rng.uniform(-0.9, 0.9, 3)
+            rad = ball_rng.uniform(0.25, 0.45)
+            sharp[(BX - cx) ** 2 + (BY - cy) ** 2 + (BZ - cz) ** 2
+                  < rad * rad] = 1.0
+        m0 = AlphaMask(grid=jnp.asarray(sharp),
+                       aabb=state.params.field.aabb)
+        r_blur = int(kv.get("radius", 28))
+        mask = dilate_mask(m0, r_blur)
+        cfg = dataclasses.replace(
+            cfg, use_alpha_mask=True, mask_with_blur=True,
+            compact_k=int(kv.get("compact_k", 512)))
     if phase == "compact":
         occ = (rng.random((160, 160, 160)) < 0.001).astype(np.float32)
         from scipy import ndimage
