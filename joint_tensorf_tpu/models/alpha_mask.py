@@ -150,11 +150,21 @@ def dilate_mask(mask: AlphaMask, radius) -> AlphaMask:
     if isinstance(radius, int):
         radius = (radius, radius, radius)
     rx, ry, rz = (int(r) for r in radius)
-    g = jax.lax.reduce_window(
-        mask.grid, -jnp.inf, jax.lax.max,
-        window_dimensions=(2 * rx + 1, 2 * ry + 1, 2 * rz + 1),
-        window_strides=(1, 1, 1),
-        padding=((rx, rx), (ry, ry), (rz, rz)))
+    # max-pooling is separable: three 1-D passes give the same result as
+    # the monolithic (2r+1)^3 window at O(r) taps per cell instead of
+    # O(r^3) (ADVICE round-4: ~185k taps/cell at r=28 otherwise)
+    g = mask.grid
+    for axis, r in ((0, rx), (1, ry), (2, rz)):
+        if r == 0:
+            continue
+        window = [1, 1, 1]
+        window[axis] = 2 * r + 1
+        pad = [(0, 0), (0, 0), (0, 0)]
+        pad[axis] = (r, r)
+        g = jax.lax.reduce_window(
+            g, -jnp.inf, jax.lax.max,
+            window_dimensions=tuple(window), window_strides=(1, 1, 1),
+            padding=tuple(pad))
     return AlphaMask(grid=g, aabb=mask.aabb, packed=pack_neighborhoods(g))
 
 

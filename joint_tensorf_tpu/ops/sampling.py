@@ -9,8 +9,9 @@ Out-of-range coordinates are clamped to the border; callers mask those
 samples out (the reference zero-pads instead, but also masks them via
 ray_valid, so inside-the-volume results are identical).
 
-This is the jnp reference implementation; ops/pallas_sampling.py provides a
-fused Pallas kernel for the same contract, validated against this one.
+The production hot path builds on this contract via the packed-row custom
+VJPs below (sample_planeline_prod / corner-packed gathers); see
+docs/DESIGN_NOTES.md for the measured alternatives.
 """
 from __future__ import annotations
 

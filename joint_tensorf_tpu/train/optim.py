@@ -47,15 +47,21 @@ def adam_update(grads, state: AdamState, params, lr_tree,
     bc1 = 1.0 - b1**c
     bc2 = 1.0 - b2**c
 
-    mu = jax.tree.map(
-        lambda m, g: b1 * m + (1 - b1) * g.astype(jnp.float32),
-        state.mu, grads)
-    nu = jax.tree.map(
-        lambda v, g: b2 * v + (1 - b2) * jnp.square(g.astype(jnp.float32)),
-        state.nu, grads)
-
     if not isinstance(lr_tree, (dict, list, tuple)) and not dataclasses.is_dataclass(lr_tree):
         lr_tree = jax.tree.map(lambda _: lr_tree, params)
+
+    # frozen (lr==0) leaves keep their old moments too: a non-finite grad
+    # reaching a frozen leaf must not poison mu/nu, or the leaf breaks
+    # permanently if its lr later becomes nonzero (ADVICE round-4)
+    mu = jax.tree.map(
+        lambda m, g, lr: jnp.where(
+            lr == 0.0, m, b1 * m + (1 - b1) * g.astype(jnp.float32)),
+        state.mu, grads, lr_tree)
+    nu = jax.tree.map(
+        lambda v, g, lr: jnp.where(
+            lr == 0.0, v,
+            b2 * v + (1 - b2) * jnp.square(g.astype(jnp.float32))),
+        state.nu, grads, lr_tree)
 
     # update math in float32; result cast back to the parameter's storage
     # dtype (no-op for float32 params)

@@ -261,14 +261,19 @@ class Trainer:
         """Upper bound on the density-blur world sigma over the next
         ``lookahead_iters`` iterations (the window until the next blur-mask
         refresh).  The random scale pool only attenuates the schedule value
-        (pools are <= 1 by protocol, but max(pool) is used, not assumed),
-        and the schedule is sampled across the whole window so nonmonotone
-        schedules stay covered."""
+        (pools are <= 1 by protocol, but max(pool) is used, not assumed).
+        The schedule is piecewise-linear over evenly spaced knots, so its
+        exact max over [p0, p1] is attained at an endpoint or at a knot
+        inside the interval — evaluate exactly those points (ADVICE
+        round-4: uniform sampling could miss an interior peak, undersizing
+        the dilation radius)."""
         opt = self.opt
         p0 = self.progress
         p1 = min(1.0, (self.it + lookahead_iters) / self.max_iter)
-        d = max(float(schedules.interp_schedule(p, opt.c2f_schedule_density))
-                for p in np.linspace(p0, p1, 17))
+        sched = list(opt.c2f_schedule_density)
+        knots = np.linspace(0.0, 1.0, len(sched))
+        pts = [p0, p1] + [float(k) for k in knots if p0 < k < p1]
+        d = max(float(schedules.interp_schedule(p, sched)) for p in pts)
         if opt.get("c2f_random_density_blur"):
             pool = (self.scale_pool_2d if opt.get("sync_2d_3d_scales")
                     else list(opt.c2f_random_density_scale_pool))
