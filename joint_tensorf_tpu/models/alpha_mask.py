@@ -168,6 +168,26 @@ def dilate_mask(mask: AlphaMask, radius) -> AlphaMask:
     return AlphaMask(grid=g, aabb=mask.aabb, packed=pack_neighborhoods(g))
 
 
+def capped_mask_res(res, cap_voxels: int = 256 ** 3):
+    """Mask-build resolution: ``res`` isotropically scaled down so the total
+    voxel count stays under ``cap_voxels``.
+
+    The reference SKIPS the alpha-mask update entirely once the grid passes
+    256^3 (tensorf.py:482-483) — at its own Blender headline config
+    (update_alphamask_iters [12k, 20k], final res 400^3) it therefore never
+    culls.  Building the mask at a capped resolution instead keeps culling
+    and sample compaction real at Blender scale; a coarser-than-grid mask
+    is already normal reference behavior (masks built at earlier phases are
+    kept and queried at finer grid resolutions, tensorf.py:484-485).
+    """
+    res = [int(r) for r in res]
+    vol = res[0] * res[1] * res[2]
+    if vol <= cap_voxels:
+        return res
+    scale = (cap_voxels / vol) ** (1.0 / 3.0)
+    return [max(1, int(r * scale)) for r in res]
+
+
 def update_alpha_mask(state: vm_lib.VMState, cfg: vm_lib.VMConfig, grid_size,
                       step_size: float, alpha_thresh: float):
     """Recompute the mask; returns (AlphaMask, proposed new aabb [2,3] np).

@@ -280,28 +280,36 @@ class Trainer:
             d *= max(float(s) for s in pool)
         return d
 
-    def _blur_dilate_radius(self, lookahead_iters: int) -> int:
+    def _blur_dilate_radius(self, lookahead_iters: int,
+                            mask_res=None) -> int:
         """Mask-cell dilation radius covering the blur kernel's support.
 
         The kernel is built in factor-grid index units with
         grid_scale = mean(res / aabb_size) (renderer.py blur-mats block,
-        batBase.py:13-25 semantics); the mask here is built at the SAME
-        resolution and aabb as the factor grids, so kernel taps and mask
-        cells coincide.  Gaussian support is truncated at 5*sigma (tail
-        mass < 1e-6, far below the alpha threshold this gate shares with
-        the reference's own culling) and at the kernel's static half-width.
+        batBase.py:13-25 semantics).  When the mask is built at a capped
+        (coarser) resolution, sigma and the kernel half-width are converted
+        into MASK cells; rounding up keeps the dilation conservative.
+        Gaussian support is truncated at 5*sigma (tail mass < 1e-6, far
+        below the alpha threshold this gate shares with the reference's
+        own culling) and at the kernel's static half-width.
         """
         opt = self.opt
         smax = self._blur_sigma_max(lookahead_iters)
         res = np.asarray(self.resolution, np.float64)
         aabb = np.asarray(self.state.params.field.aabb, np.float64)
-        grid_scale = float(np.mean(res / (aabb[1] - aabb[0])))
-        sig_grid = smax * grid_scale
+        size = aabb[1] - aabb[0]
+        grid_scale = float(np.mean(res / size))
+        mres = np.asarray(self.resolution if mask_res is None else mask_res,
+                          np.float64)
+        mask_scale = float(np.mean(mres / size))
+        sig_mask = smax * mask_scale
         if str(opt.get("c2f_mode", "uniform-gaussian")) == "uniform-average":
-            r = int(np.ceil(sig_grid)) + 1
+            r = int(np.ceil(sig_mask)) + 1
         else:
-            r = int(np.ceil(5.0 * sig_grid)) + 1
-        return max(1, min(int(opt.c2f_kernel_size) // 2, r))
+            r = int(np.ceil(5.0 * sig_mask)) + 1
+        halfw_mask = int(np.ceil((int(opt.c2f_kernel_size) // 2)
+                                 * mask_scale / grid_scale))
+        return max(1, min(halfw_mask, r))
 
     def _refresh_blur_mask(self):
         """Dilated-mask culling for BLUR-ACTIVE phases (VERDICT round-3 #2).
@@ -328,7 +336,9 @@ class Trainer:
         if opt.camera.get("ndc", False):
             return
         res = self.resolution
-        if res[0] * res[1] * res[2] >= 256 ** 3:
+        cap = int(opt.tpu.get("mask_cap_voxels", 256 ** 3))
+        capped = res[0] * res[1] * res[2] >= cap
+        if capped and not bool(opt.tpu.get("mask_res_cap", True)):
             return  # same guard as the scheduled mask build
         if self.upsample_iters and self.it < self.upsample_iters[-1]:
             return
@@ -337,13 +347,14 @@ class Trainer:
                 self.it - self._blur_mask_built_at < refresh:
             return
         try:
-            from ..models.alpha_mask import dilate_mask
+            from ..models.alpha_mask import capped_mask_res, dilate_mask
 
-            radius = self._blur_dilate_radius(refresh)
+            mask_res = capped_mask_res(res, cap) if capped else list(res)
+            radius = self._blur_dilate_radius(refresh, mask_res=mask_res)
             field = self.state.params.field
             step = schedules.step_size(np.asarray(field.aabb), res,
                                        float(self.opt.nerf.step_ratio))
-            mask, _ = update_alpha_mask(field, self.vm_cfg, list(res), step,
+            mask, _ = update_alpha_mask(field, self.vm_cfg, mask_res, step,
                                         self.alphamask_thresh)
             mask = dilate_mask(mask, radius)
             k = self._probe_compact_k(mask=mask)
@@ -790,11 +801,28 @@ class Trainer:
             self.tv_color_weight *= self.decay_factor
 
     def _update_alphamask(self, it: int):
-        """tensorf.py:480-489."""
+        """tensorf.py:480-489, with the mask resolution CAPPED instead of
+        the update skipped.
+
+        The reference skips the whole update once the grid passes 256^3
+        (tensorf.py:482) — at its own Blender headline config
+        (update_alphamask_iters [12k, 20k], final res 400^3) it therefore
+        never culls, never compacts, never shrinks.  We build the mask at
+        ``capped_mask_res`` so culling + compaction + the app_k probe stay
+        real at Blender scale (ADVICE round-4 high).  The bbox *shrink*
+        stays reference-gated: it only runs where the reference's uncapped
+        build would have run, because shrinking at 400^3 would change the
+        optimization trajectory relative to the reference protocol (and
+        realloc every factor grid).
+        """
         res = self.resolution
-        if res[0] * res[1] * res[2] >= 256**3:
+        cap = int(self.opt.tpu.get("mask_cap_voxels", 256 ** 3))
+        capped = res[0] * res[1] * res[2] >= cap
+        if capped and not bool(self.opt.tpu.get("mask_res_cap", True)):
             return
-        self.alphamask_resolution = list(res)
+        from ..models.alpha_mask import capped_mask_res
+        self.alphamask_resolution = (capped_mask_res(res, cap) if capped
+                                     else list(res))
         field = self.state.params.field
         step = schedules.step_size(np.asarray(field.aabb), res,
                                    float(self.opt.nerf.step_ratio))
@@ -804,7 +832,7 @@ class Trainer:
         self.alpha_mask = mask
         self.compact_k = self._probe_compact_k()
         self.app_k_dyn = self._probe_app_k()
-        if it == self.update_alphamask_iters[0] and \
+        if (not capped) and it == self.update_alphamask_iters[0] and \
                 self.opt.train_schedule.get("shrink_bbox_with_alphamask", True):
             new_field = vm_lib.shrink(field, new_aabb)
             self.resolution = new_field.resolution()

@@ -1,0 +1,79 @@
+"""Capped-resolution alpha-mask builds (ADVICE round-4 high).
+
+The reference skips the alpha-mask update entirely once the grid passes
+256^3 (tensorf.py:482) — at its own Blender headline config that means no
+culling, no compaction, no shrink after it 9000.  The TPU build instead
+builds the mask at a capped resolution (models/alpha_mask.capped_mask_res)
+so the compaction machinery stays engaged at Blender scale; the bbox
+shrink remains reference-gated.  These tests drive the capped path at toy
+scale via ``tpu.mask_cap_voxels``.
+"""
+import os
+
+import numpy as np
+
+from joint_tensorf_tpu.config import set_options
+from joint_tensorf_tpu.data import load_dataset
+from joint_tensorf_tpu.models.alpha_mask import capped_mask_res
+from joint_tensorf_tpu.train.trainer import Trainer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_capped_mask_res_values():
+    # below the cap: unchanged
+    assert capped_mask_res([100, 100, 100]) == [100, 100, 100]
+    # reference headline scale: 400^3 -> isotropic scale-down under 256^3
+    r = capped_mask_res([400, 400, 400])
+    assert r[0] == r[1] == r[2]
+    assert r[0] * r[1] * r[2] <= 256 ** 3
+    assert r[0] >= 250  # (256^3/400^3)^(1/3) * 400 = 256 -> int() floor
+    # anisotropic grids keep their aspect
+    r = capped_mask_res([800, 400, 200], cap_voxels=8 * 10 ** 6)
+    assert r[0] * r[1] * r[2] <= 8 * 10 ** 6
+    assert abs(r[0] / r[1] - 2.0) < 0.05 and abs(r[1] / r[2] - 2.0) < 0.05
+
+
+def _opt(extra):
+    cfg = os.path.join(REPO, "configs", "bat_synthetic_small.yaml")
+    return set_options(cfg, [
+        "--max_iter=40",
+        "--data.image_size=[48,48]",
+        "--data.n_views=6",
+        "--train_schedule.n_voxel_init=32768",       # 32^3
+        "--train_schedule.n_voxel_final=110592",     # 48^3
+        "--train_schedule.upsample_iters=[4]",
+        "--train_schedule.update_alphamask_iters=[8]",
+        "--train_schedule.n_rays_init=128",
+        "--train_schedule.n_rays_rest=128",
+        "--c2f_kernel_size=8",
+        "--blur_2d_c2f_kernel_size=15",
+        "--nerf.sample_intvs=64",
+    ] + extra)
+
+
+def test_update_alphamask_capped_builds_mask_and_skips_shrink():
+    # cap below the final 48^3 = 110592 volume: the scheduled update at it 8
+    # must still build a mask (at a capped res) but must NOT shrink
+    opt = _opt(["--tpu.mask_cap_voxels=27000"])   # 30^3
+    scene = load_dataset(opt, "train")
+    tr = Trainer(opt, scene)
+    aabb_before = np.asarray(tr.state.params.field.aabb).copy()
+    tr.run(max_iter=12, log_every=100)
+    assert tr.alpha_mask is not None, "capped update must still build a mask"
+    mres = tr.alphamask_resolution
+    assert mres[0] * mres[1] * mres[2] <= 27000
+    assert mres[0] < tr.resolution[0]
+    # shrink is reference-gated: skipped on the capped path
+    np.testing.assert_array_equal(
+        np.asarray(tr.state.params.field.aabb), aabb_before)
+    assert list(tr.resolution) == [48, 48, 48]
+
+
+def test_update_alphamask_cap_disabled_restores_reference_skip():
+    opt = _opt(["--tpu.mask_cap_voxels=27000", "--tpu.mask_res_cap!"])
+    scene = load_dataset(opt, "train")
+    tr = Trainer(opt, scene)
+    tr.run(max_iter=12, log_every=100)
+    assert tr.alpha_mask is None, \
+        "mask_res_cap off must reproduce the reference's skip"
