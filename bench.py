@@ -2,8 +2,8 @@
 """Training-throughput benchmark (single chip).
 
 Times the full jitted BAT training step (render + joint VJP + both Adam
-updates) at the Blender headline configuration's dominant phase — final
-grid resolution, sharp (post-annealing) regime — and reports rays/sec.
+updates) at the Blender headline configuration's phases and reports a
+schedule-weighted rays/sec.
 
 Prints ONE JSON line:
   {"metric": "rays_per_sec_train", "value": N, "unit": "rays/s",
@@ -12,6 +12,26 @@ Prints ONE JSON line:
 BASELINE_RAYS_PER_SEC is the estimated CUDA-reference throughput of the
 same workload (see BENCH_NOTES.md for the derivation; the reference repo
 publishes no numbers, BASELINE.md "Quality numbers").
+
+Capture protocol (round 5, un-voidable by construction — VERDICT round-4
+#2; the round-4 capture was killed mid-run and recorded `parsed: null`
+despite three finished phase measurements):
+  * phases are measured MOST-IMPORTANT-FIRST: compacted (70% of the
+    schedule) -> early (22.5%) -> dense variants (7.5%);
+  * after EVERY phase median, a complete, parseable partial record is
+    written to docs/bench/last_bench.json (missing phases carried from
+    the previous record, marked as such) — killing this process at any
+    point after the first phase leaves honest evidence;
+  * the backend-down retry budget is capped (~2 min of sleeps, not 13);
+  * JTF_BENCH_SMALL (CPU smoke mode) NEVER writes the last-good file.
+
+Headline shapes (round 5): the shipped-defaults trajectory of
+bat_blender_VM.yaml.  The reference never shrinks its bbox at this config
+(its alpha-mask updates at it 12k/20k are skipped by the <256^3 gate,
+reference tensorf.py:482), so the final grid is the full 400^3 — earlier
+rounds modeled a "post-shrink 300^3" that the headline schedule cannot
+reach.  Masks are built at the trainer's capped resolution
+(models/alpha_mask.capped_mask_res; ADVICE round-4 high).
 """
 from __future__ import annotations
 
@@ -33,6 +53,7 @@ V5E_HBM_BYTES_PER_SEC = 819e9
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _LAST_GOOD = os.path.join(_REPO, "docs", "bench", "last_bench.json")
+_SMALL = os.environ.get("JTF_BENCH_SMALL") == "1"
 
 
 def _probe_backend(timeout_s: float = 120.0) -> bool:
@@ -65,13 +86,12 @@ def _probe_backend(timeout_s: float = 120.0) -> bool:
     return ok[0]
 
 
-# Retry-with-backoff across ~13 minutes: BENCH_r02.json recorded literally
-# zero because the tunnel happened to be down at the single capture instant;
-# the round window is hours, so a transient blip must not erase the round's
-# perf evidence.  Each retry sleeps, then REPLACES this process via execve —
-# a fresh interpreter with no poisoned/hung backend state (hung probe
-# threads die with the old image).
-_RETRY_DELAYS = [15, 30, 60, 120, 180, 180, 180]
+# Retry-with-backoff, CAPPED: the round-4 bench burned ~12.5 min re-exec'ing
+# through backend flaps and was killed by the driver before measuring the
+# phase that matters.  Total sleep budget here is ~105 s (+ probe timeouts);
+# if the tunnel stays down that long, emit the last-good record and exit —
+# the driver's wall clock is the scarcer resource.
+_RETRY_DELAYS = [15, 30, 60]
 
 
 def _retry_or_emit_stale():
@@ -90,7 +110,7 @@ def _retry_or_emit_stale():
 
 
 def _emit_unavailable():
-    """Tunnel stayed down: emit the last in-session measurement, marked
+    """Tunnel stayed down: emit the last persisted measurement, marked
     stale, instead of a zero that erases the round's perf evidence."""
     try:
         with open(_LAST_GOOD) as f:
@@ -98,7 +118,7 @@ def _emit_unavailable():
         last["stale"] = True
         last["note"] = ("accelerator backend unavailable after retries "
                         "(tunnel down); value is the most recent successful "
-                        "in-session measurement, captured at "
+                        "measurement, captured at "
                         f"{last.get('captured_at', 'unknown')}")
         print(json.dumps(last))
     except Exception:
@@ -165,6 +185,114 @@ def simulate_schedule_weights(max_iter: int = 40000, seed: int = 0):
     return {k: v / max_iter for k, v in counts.items()}
 
 
+class _Capture:
+    """Incremental result assembly + per-phase persistence.
+
+    ``phases`` maps phase name -> measurement dict (fresh this session).
+    Missing phases are carried from the previous last-good record so a
+    partial capture still yields a complete, honest headline (carried
+    entries are listed in ``carried_phases``).
+    """
+
+    PHASE_KEYS = {"compacted": "ms_compacted", "early": "ms_early",
+                  "dense": "ms_dense"}
+
+    def __init__(self, n_rays):
+        self.n_rays = n_rays
+        self.fresh = {}
+        self.extras = {}
+        self.carried = {}
+        if not _SMALL:
+            try:
+                with open(_LAST_GOOD) as f:
+                    prev = json.load(f)
+                det = prev.get("detail", {})
+                for ph, key in self.PHASE_KEYS.items():
+                    if det.get(key) is not None:
+                        self.carried[ph] = {
+                            "median_s": det[key] / 1000.0,
+                            "captured_at": prev.get("captured_at",
+                                                    "unknown")}
+            except Exception:
+                pass
+
+    def phase_time(self, ph):
+        if ph in self.fresh:
+            return self.fresh[ph]["median_s"], False
+        if ph in self.carried:
+            return self.carried[ph]["median_s"], True
+        return None, None
+
+    def record(self, ph, measurement):
+        self.fresh[ph] = measurement
+        self.persist(partial=True)
+
+    def result(self, partial):
+        w = simulate_schedule_weights()
+        times, carried_phases = {}, []
+        # a phase with neither a fresh nor carried value is billed at the
+        # SLOWEST known phase time (conservative: understates throughput)
+        known = [self.phase_time(p)[0] for p in self.PHASE_KEYS
+                 if self.phase_time(p)[0] is not None]
+        worst = max(known) if known else None
+        for ph in self.PHASE_KEYS:
+            t, was_carried = self.phase_time(ph)
+            if t is None:
+                t, was_carried = worst, True
+            times[ph] = t
+            if was_carried:
+                carried_phases.append(ph)
+        if any(t is None for t in times.values()):
+            return None
+        t_mix = (w["early"] * times["early"]
+                 + (w["dense_blur"] + w["dense_sharp"]) * times["dense"]
+                 + w["compacted"] * times["compacted"])
+        rays_per_sec = self.n_rays / t_mix
+        detail = {self.PHASE_KEYS[ph]: round(times[ph] * 1000, 1)
+                  for ph in self.PHASE_KEYS}
+        detail["spread_ms"] = {
+            ph: [round(m["min_s"] * 1000, 1), round(m["max_s"] * 1000, 1)]
+            for ph, m in self.fresh.items()}
+        detail["phase_weights_simulated"] = {k: round(v, 4)
+                                             for k, v in w.items()}
+        detail.update(self.extras)
+        result = {
+            "metric": "rays_per_sec_train",
+            "value": round(rays_per_sec, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+            "detail": detail,
+        }
+        if partial or carried_phases:
+            result["partial"] = bool(partial)
+            result["carried_phases"] = carried_phases
+            if carried_phases:
+                result["note"] = (
+                    "phases " + ",".join(carried_phases) + " carried from "
+                    "a previous capture (this run was interrupted before "
+                    "measuring them); fresh phases: "
+                    + ",".join(sorted(self.fresh)))
+        return result
+
+    def persist(self, partial):
+        if _SMALL:
+            return  # smoke numbers must NEVER become the stale fallback
+        result = self.result(partial)
+        if result is None:
+            return
+        try:
+            os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
+            tmp = _LAST_GOOD + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(dict(result, captured_at=time.strftime(
+                    "%Y-%m-%dT%H:%M:%S%z")), f, indent=1)
+            os.replace(tmp, _LAST_GOOD)
+        except Exception as e:
+            print(f"[bench] could not persist last-good: {e}",
+                  file=sys.stderr)
+        return result
+
+
 def main():
     from joint_tensorf_tpu.utils import setup_jax
     setup_jax()
@@ -181,18 +309,20 @@ def main():
                                               make_train_step)
 
     # Headline-config shapes (bat_blender_VM.yaml): 100 views at 400x400,
-    # density ranks [16]*3, color [48]*3, MLP_Fea h=64, 2048 rays,
-    # final-resolution grid (post-shrink ~300^3), n_samples capped at 1000.
+    # density ranks [16]*3, color [48]*3, MLP_Fea h=64, 2048 rays.  The
+    # final grid is the schedule's full 400^3 (the reference never shrinks
+    # at this config — see module docstring); n_samples = min(1000,
+    # |res|/step_ratio) = 1000.
     n_views, H, W = 100, 400, 400
-    res = (300, 300, 300)
+    res = (400, 400, 400)
     n_rays_total = 2048
     n_samples = 1000
     reps, iters_per_rep = 5, 10
-    if os.environ.get("JTF_BENCH_SMALL") == "1":
+    if _SMALL:
         # CPU smoke mode: exercises the FULL bench code path (probes, mask
         # construction, step builds, roofline, JSON emit) at toy shapes so
         # bench edits can be validated without claiming the TPU.  The
-        # numbers it prints are NOT measurements.
+        # numbers it prints are NOT measurements and are NEVER persisted.
         n_views, H, W = 8, 64, 64
         res = (48, 48, 48)
         n_rays_total = 256
@@ -206,24 +336,19 @@ def main():
 
     rays_per_view = max(1, n_rays_total // n_views)
     n_rays = rays_per_view * n_views
+    cap = _Capture(n_rays)
 
     # per-phase hot-path config matches train/trainer.py _ensure_step:
     # dense/early phases use the dense-grid density expansion + two-stage
     # appearance; the compacted phase drops densify (its O(XYZ) grid build
-    # outweighs the savings at K=256 samples — scripts/densify_bench.py)
+    # outweighs the savings at compacted sample counts)
     app_k = 64
-    # dense/early phases are BLUR-ACTIVE in the real schedule (every
-    # pre-12k iteration has the kernel alive, simulate_schedule_weights),
-    # so their steps must pay the banded-matmul blur of all 12 factor
-    # grids + its backward transposes — round-1..3 benches omitted it
-    # (~5-7% understatement of those phases).
-    from joint_tensorf_tpu.render.renderer import BlurSpec
-    blur = BlurSpec(mode="uniform-gaussian", kernel_size=64)
 
-    # bbox-gated compaction for the blur-active phases (round 4, mirrors
-    # trainer._refresh_bbox_k): out-of-bbox sample slots are dead weight
-    # the disabled alpha mask cannot cull; the exact in-bbox budget K is
-    # probed from the same camera geometry the bench renders.
+    from joint_tensorf_tpu.models.alpha_mask import (AlphaMask,
+                                                     capped_mask_res,
+                                                     dilate_mask,
+                                                     pack_neighborhoods)
+
     def probe_bbox_k(res_p, S, stride=4, mask=None, pad=1.0):
         from joint_tensorf_tpu.data.synthetic import sphere_poses
         from joint_tensorf_tpu.geometry.rays import get_center_and_ray
@@ -257,39 +382,7 @@ def main():
         k = min(S, max(128, int(-(-int(mx * pad) // 128) * 128)))
         return None if k >= S else k
 
-    bbox_k = probe_bbox_k(res, n_samples)
-    cfg = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
-                     n_samples=n_samples, pose_opt=True, use_pose_noise=True,
-                     densify_density=True, densify_impl="lane", app_k=app_k,
-                     blur=blur, compact_k=bbox_k)
-    step = make_train_step(cfg, vm_cfg, head)
-    print(f"[bench] dense bbox compact_k = {bbox_k}", file=sys.stderr)
-
-    # early-phase variant: the voxel schedule spends iterations 0-9000 at
-    # 64^3..~300^3 with proportionally fewer samples; model it at 128^3/443
-    state_e = init_train_state(jax.random.PRNGKey(0), vm_cfg, (128, 128, 128),
-                               aabb, n_views)
-    bbox_k_e = probe_bbox_k((128, 128, 128), 443)
-    cfg_e = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
-                       n_samples=443, pose_opt=True, use_pose_noise=True,
-                       densify_density=True, densify_impl="lane", app_k=app_k,
-                       blur=blur, compact_k=bbox_k_e)
-    step_e = make_train_step(cfg_e, vm_cfg, head)
-
-    # late-phase variant: alpha-mask culling + sample compaction, the regime
-    # ~70% of the reference schedule runs in (alphamask from it=12k of 40k)
-    import dataclasses
-
-    from joint_tensorf_tpu.models.alpha_mask import AlphaMask, pack_neighborhoods
-
-    compact_k = min(256, n_samples // 2)
-    cfg_c = dataclasses.replace(cfg, use_alpha_mask=True,
-                                compact_k=compact_k, blur=None,
-                                densify_density=False, app_k=app_k)
-    step_c = make_train_step(cfg_c, vm_cfg, head)
-
     rng = np.random.default_rng(0)
-    # ring of cameras looking at the origin
     from joint_tensorf_tpu.data.synthetic import sphere_poses
     pose_base = jnp.asarray(sphere_poses(n_views))
     focal = 0.5 * 800 / np.tan(0.5 * 0.6911) * (W / 800)
@@ -314,61 +407,6 @@ def main():
         edge_factor=jnp.float32(1.5), non_edge_factor=jnp.float32(0.5),
         view_pe_progress=jnp.float32(1.0), fea_pe_progress=jnp.float32(1.0),
         pose_do_step=jnp.float32(1.0), tv_depth_weight=jnp.float32(0.0))
-
-    # a plausible late-phase alpha mask: ~15% occupancy blobs
-    mres = 160 if n_samples >= 1000 else 48
-    occ = (rng.random((mres, mres, mres)) < 0.001).astype(np.float32)
-    try:
-        from scipy import ndimage
-
-        occ = ndimage.binary_dilation(occ > 0, iterations=8).astype(np.float32)
-    except Exception:
-        pass
-    occ_grid = jnp.asarray(occ)
-    alpha_mask = AlphaMask(grid=occ_grid, aabb=state.params.field.aabb,
-                           packed=pack_neighborhoods(occ_grid))
-
-    # Round-4: the trainer culls BLUR-ACTIVE iterations with a dilated
-    # sharp mask once the resolution is final (trainer._refresh_blur_mask,
-    # refreshed every 1000 iterations with the radius tightening as sigma
-    # anneals) — mirror it for the dense_blur phase per REFRESH WINDOW.
-    # On the 40k Blender schedule the phase spans it 9000-12000 with
-    # refreshes at 9000/10000/11000; each window's worst-case sigma_world
-    # is the schedule value at the window start (x max(scale_pool)=1):
-    # 0.0525 / 0.035 / 0.0175 -> dilation radii 28 / 19 / 10 cells at
-    # grid_scale 100.  A window whose probe declines (dilated mask leaves
-    # ~every group alive) runs at the bbox-gated budget — the honest
-    # dense time is the mean over windows, not the best one.
-    from joint_tensorf_tpu.models.alpha_mask import dilate_mask
-    window_sigmas = [0.0525, 0.035, 0.0175]
-    if os.environ.get("JTF_BENCH_SMALL") == "1":
-        window_sigmas = [s / 10 for s in window_sigmas]  # smoke coverage
-    grid_scale = float(np.mean(np.asarray(res, np.float64) / 3.0))
-    ball_rng = np.random.default_rng(11)
-    ax = np.linspace(-1.5, 1.5, res[0], dtype=np.float32)
-    BX, BY, BZ = np.meshgrid(ax, ax, ax, indexing="ij")
-    sharp = np.zeros(res, np.float32)
-    for _ in range(6):
-        cx, cy, cz = ball_rng.uniform(-0.9, 0.9, 3)
-        rad = ball_rng.uniform(0.25, 0.45)
-        sharp[(BX - cx) ** 2 + (BY - cy) ** 2 + (BZ - cz) ** 2
-              < rad * rad] = 1.0
-    sharp_mask = AlphaMask(grid=jnp.asarray(sharp),
-                           aabb=state.params.field.aabb)
-    blur_windows = []   # (sigma, radius, K or None, mask)
-    for sig_w in window_sigmas:
-        r_blur = max(1, min(64 // 2,
-                            int(np.ceil(5.0 * sig_w * grid_scale)) + 1))
-        bm = dilate_mask(sharp_mask, r_blur)
-        bk = probe_bbox_k(res, n_samples, mask=bm, pad=1.25)
-        if bbox_k is not None and bk is not None:
-            bk = min(bk, bbox_k)
-        if bk is not None and bbox_k is not None and bk >= bbox_k:
-            bk = None   # no win over the bbox budget for this window
-        print(f"[bench] dense blur-mask window sigma={sig_w}: dilated(r="
-              f"{r_blur}) occ {float(bm.grid.mean()):.3f}, K = {bk}",
-              file=sys.stderr)
-        blur_windows.append((sig_w, r_blur, bk, bm))
 
     def run_iter(st, i, fn, mask):
         idx = jnp.asarray(rng.permutation(H * W)[:rays_per_view]
@@ -406,81 +444,71 @@ def main():
         return {"median_s": med, "min_s": batch_means[0],
                 "max_s": batch_means[-1], "reps": reps, "iters": iters}
 
-    m_early = measure(step_e, None, st=state_e)
-    t_early = m_early["median_s"]
-    print(f"[bench] early {t_early*1000:.1f} ms", file=sys.stderr)
-    m_dense_bbox = measure(step, None)
-    m_dense = m_dense_bbox
-    # trainer default (tpu.blur_mask_compact): per-window dilated-mask
-    # culling; measure each distinct K once, bill declined windows at the
-    # bbox-gated rate, and take the WINDOW MEAN as the dense time
-    win_rows = []
-    k_times = {}
-    for sig_w, r_blur, bk, bm in blur_windows:
-        if bk is None:
-            t_w = m_dense_bbox["median_s"]
-        else:
-            if bk not in k_times:
-                cfg_w = dataclasses.replace(
-                    cfg, use_alpha_mask=True, mask_with_blur=True,
-                    compact_k=bk)
-                k_times[bk] = measure(make_train_step(cfg_w, vm_cfg, head),
-                                      bm)["median_s"]
-            t_w = k_times[bk]
-        win_rows.append({"sigma_world": sig_w, "radius_cells": r_blur,
-                         "compact_k_blur": bk,
-                         "ms": round(t_w * 1000, 1)})
-    t_dense = float(np.mean([w["ms"] for w in win_rows])) / 1000.0
-    print(f"[bench] dense {t_dense*1000:.1f} ms (window mean; bbox-only "
-          f"{m_dense_bbox['median_s']*1000:.1f} ms; windows {win_rows})",
+    import dataclasses
+
+    # ---------------- phase 1 (70% weight): compacted — MEASURE FIRST ----
+    # alpha mask at the trainer's capped build resolution (ADVICE round-4
+    # high: the trainer now builds at capped_mask_res once the grid passes
+    # 256^3, so the compacted phase is REAL at the 400^3 headline)
+    mres = capped_mask_res(res) if not _SMALL else [32, 32, 32]
+    occ = (rng.random(tuple(mres)) < 0.001).astype(np.float32)
+    try:
+        from scipy import ndimage
+
+        occ = ndimage.binary_dilation(occ > 0, iterations=8).astype(np.float32)
+    except Exception:
+        pass
+    occ_grid = jnp.asarray(occ)
+    alpha_mask = AlphaMask(grid=occ_grid, aabb=state.params.field.aabb,
+                           packed=pack_neighborhoods(occ_grid))
+    compact_k = min(256, n_samples // 2)
+    bbox_k = probe_bbox_k(res, n_samples)
+    cfg = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
+                     n_samples=n_samples, pose_opt=True, use_pose_noise=True,
+                     densify_density=True, densify_impl="lane", app_k=app_k,
+                     blur=None, compact_k=bbox_k)
+    print(f"[bench] mask res {mres}, dense bbox compact_k = {bbox_k}",
           file=sys.stderr)
+    cfg_c = dataclasses.replace(cfg, use_alpha_mask=True,
+                                compact_k=compact_k, blur=None,
+                                densify_density=False, app_k=app_k)
+    step_c = make_train_step(cfg_c, vm_cfg, head)
     m_compact = measure(step_c, alpha_mask)
     t_compact = m_compact["median_s"]
+    cap.extras.update({"median_of": m_compact["reps"],
+                       "compact_k": compact_k, "n_rays": n_rays,
+                       "n_samples": n_samples, "res": list(res),
+                       "mask_res": list(mres)})
+    cap.record("compacted", m_compact)
     print(f"[bench] compact {t_compact*1000:.1f} ms", file=sys.stderr)
 
     # Roofline: analytic multi-resource bound for the compacted step (the
-    # binding phase).  Round-3's version published XLA cost-model "bytes
-    # accessed" / HBM peak = 1.10 — physically impossible, because the
-    # cost model counts every scheduled buffer touch, not unique HBM
-    # traffic (VERDICT round-3 weak #1).  The honest model: this step is
-    # ROW-OP LATENCY bound, not bandwidth bound — its streamed HBM traffic
-    # is ~2 GB/step (~3 ms at peak) while row ops (gathers / scatter-adds /
-    # mask probes, measured ~23 ns/row gather and ~45 ns/row scatter emit
-    # on v5e, docs/DESIGN_NOTES.md) bound it far tighter.  Each resource
-    # bound is computed from the KNOWN shapes; the composite bound is
-    # their sum (the op classes barely overlap on this chip), and
-    # bound_fraction = composite/measured says how far from
-    # speed-of-light the step is.  Class times validated against the
-    # device trace (scripts/phase_profile.py), see BENCH_NOTES.
+    # binding phase): the step is ROW-OP LATENCY bound, not bandwidth
+    # bound — its streamed HBM traffic is a few GB/step (~ms at peak)
+    # while row ops (gathers / scatter-adds / mask probes, measured
+    # ~23 ns/row gather and ~45 ns/row scatter emit on v5e,
+    # docs/DESIGN_NOTES.md) bound it far tighter.  Each resource bound is
+    # computed from the KNOWN shapes; bound_fraction = composite/measured
+    # says how far from speed-of-light the step is.  Class times validated
+    # against the device trace (scripts/phase_profile.py), see BENCH_NOTES.
     K2 = app_k
     K = compact_k
     n = n_rays
     Rd, Ra = 16, 48
     res_xyz = res[0]
-    # --- row-op census (the step's dominant op class): one packed row per
-    # (sample, factor) gather, mirrored by one scatter-add row in the VJP,
-    # plus the strided alpha probes.
     rows_gather = 3 * n * K + 3 * n * K2   # density + appearance factored
     rows_probe = n * (n_samples // 4)      # alpha probe at stride 4
     rows_scatter = 3 * n * K + 3 * n * K2  # factor-grad scatter-adds
     rows_total = rows_gather + rows_probe + rows_scatter
     row_bytes = (3 * n * K * (4 * Rd) * 4          # density packed rows
                  + 3 * n * K2 * (4 * Ra) * 4) * 2  # appearance, fwd+bwd
-    # --- streamed traffic (true bandwidth-bound work): Adam (6x params),
-    # regularizer reads, per-sample feature tensors fwd+bwd, compositing
     params = 3 * res_xyz * res_xyz * (Rd + Ra) + 3 * res_xyz * (Rd + Ra)
     bytes_streamed = (params * 4 * 6 + 2 * params * 4
                       + n * n_samples * 4 * 6 + row_bytes)
     t_hbm_floor = bytes_streamed / V5E_HBM_BYTES_PER_SEC
-    # --- matmuls (MXU, f32 -> ~1/4 bf16 peak): shading MLP + basis
     flops_mm = (2 * n * K2 * (150 * 64 + 64 * 64 + 64 * 3) * 3
                 + 2 * n * K2 * (3 * Ra) * 27 * 3)
     t_mxu = flops_mm / (V5E_PEAK_BF16_FLOPS / 4)
-    # Effective per-row cost backed out of the measurement: what the step
-    # spends beyond its bandwidth+MXU floors, attributed to row-op
-    # serialization (XLA emits gathers/scatters row-at-a-time; the
-    # serialization cost is ~10-40x the per-row byte time depending on
-    # layout — scripts/scatter_probe.py calibrates it per shape).
     t_row_effective = max(t_compact - t_hbm_floor - t_mxu, 0.0)
     roofline = {
         "model": "analytic floors + measured row-op residual",
@@ -497,78 +525,113 @@ def main():
                 "gives the effective per-row emit cost to compare against "
                 "scatter_probe.py calibration.",
     }
+    cap.extras["roofline_compacted"] = roofline
+    cap.persist(partial=True)
     print(f"[bench] compacted roofline: {roofline}", file=sys.stderr)
 
-    # Phase weights from the in-situ schedule simulation (not hand-assigned;
-    # VERDICT round-3 #8): classify every iteration of the 40k headline
-    # schedule with the trainer's own blur/mask logic.  dense_sharp (final
-    # res, blur annealed, mask not yet built — ~0.1% of iterations) is
-    # costed at the dense rate (conservative: it has no blur convs).
-    w = simulate_schedule_weights()
-    t_mix = (w["early"] * t_early
-             + (w["dense_blur"] + w["dense_sharp"]) * t_dense
-             + w["compacted"] * t_compact)
-    rays_per_sec = n_rays / t_mix
-    # The round-3 "alternative honest weighting" (BENCH_NOTES: blur active
-    # on 5/6 of post-12k iterations -> ~0.66 dense weight) is carried for
-    # transparency but is REFUTED by the schedule values: both c2f
-    # schedules are 0.0 from progress 0.3 (= it 12,000), and the reference
-    # drops the kernel entirely below eps=1e-3 (tensorf.py:205-220), so no
-    # post-12k iteration can be blur-active.  See simulate_schedule_weights.
-    t_mix_alt = (0.225 * t_early + (0.075 + 0.7 * 5 / 6) * t_dense
-                 + (0.7 / 6) * t_compact)
-    rays_per_sec_alt = n_rays / t_mix_alt
-    result = {
-        "metric": "rays_per_sec_train",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-        "detail": {"ms_early": round(t_early * 1000, 1),
-                   "ms_dense": round(t_dense * 1000, 1),
-                   "ms_compacted": round(t_compact * 1000, 1),
-                   "spread_ms": {
-                       "early": [round(m_early["min_s"] * 1000, 1),
-                                 round(m_early["max_s"] * 1000, 1)],
-                       "dense": [round(m_dense["min_s"] * 1000, 1),
-                                 round(m_dense["max_s"] * 1000, 1)],
-                       "compacted": [round(m_compact["min_s"] * 1000, 1),
-                                     round(m_compact["max_s"] * 1000, 1)]},
-                   "median_of": m_compact["reps"],
-                   "compact_k": compact_k, "n_rays": n_rays,
-                   "n_samples": n_samples,
-                   "dense_blur_mask": {
-                       "enabled": any(w["compact_k_blur"] is not None
-                                      for w in win_rows),
-                       "windows": win_rows,
-                       "compact_k_bbox": bbox_k,
-                       "ms_dense_bbox_only": round(
-                           m_dense_bbox["median_s"] * 1000, 1)},
-                   "phase_weights_simulated": {k: round(v, 4)
-                                               for k, v in w.items()},
-                   "weightings": {
-                       "simulated_schedule": {
-                           "rays_per_sec": round(rays_per_sec, 1),
-                           "vs_baseline": round(
-                               rays_per_sec / BASELINE_RAYS_PER_SEC, 3)},
-                       "alt_blur_active_post12k_5of6": {
-                           "rays_per_sec": round(rays_per_sec_alt, 1),
-                           "vs_baseline": round(
-                               rays_per_sec_alt / BASELINE_RAYS_PER_SEC, 3),
-                           "note": "refuted by the schedule values (both "
-                                   "c2f schedules are 0 from it 12k and "
-                                   "the kernel is dropped below eps=1e-3, "
-                                   "tensorf.py:205-220); kept for "
-                                   "round-3 comparability"}},
-                   "roofline_compacted": roofline},
-    }
-    # persist as the stale-fallback for tunnel-down captures (_emit_unavailable)
-    try:
-        os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
-        with open(_LAST_GOOD, "w") as f:
-            json.dump(dict(result, captured_at=time.strftime(
-                "%Y-%m-%dT%H:%M:%S%z")), f, indent=1)
-    except Exception as e:
-        print(f"[bench] could not persist last-good: {e}", file=sys.stderr)
+    # ---------------- phase 2 (22.5%): early (growing grid) --------------
+    # the voxel schedule spends iterations 0-9000 at 64^3..400^3 with
+    # proportionally fewer samples; model it at 128^3/443
+    res_e = (128, 128, 128) if not _SMALL else res
+    state_e = init_train_state(jax.random.PRNGKey(0), vm_cfg, res_e,
+                               aabb, n_views)
+    S_e = 443 if not _SMALL else n_samples
+    bbox_k_e = probe_bbox_k(res_e, S_e)
+    blur_spec = None
+    from joint_tensorf_tpu.render.renderer import BlurSpec
+    blur_spec = BlurSpec(mode="uniform-gaussian", kernel_size=64)
+    cfg_e = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,
+                       n_samples=S_e, pose_opt=True, use_pose_noise=True,
+                       densify_density=True, densify_impl="lane", app_k=app_k,
+                       blur=blur_spec, compact_k=bbox_k_e)
+    step_e = make_train_step(cfg_e, vm_cfg, head)
+    m_early = measure(step_e, None, st=state_e)
+    t_early = m_early["median_s"]
+    cap.record("early", m_early)
+    print(f"[bench] early {t_early*1000:.1f} ms", file=sys.stderr)
+
+    # ---------------- phase 3 (7.5%): dense blur-active ------------------
+    # blur-active steps pay the banded-matmul blur of all 12 factor grids
+    # + its backward transposes; culling per refresh window via the
+    # trainer's dilated capped-res mask (bbox-gated where the window's
+    # probe declines).  Windows: it 9000-12000 with refreshes at
+    # 9000/10000/11000; worst-case sigma_world per window = schedule value
+    # at window start x max(scale_pool) = 0.0525 / 0.035 / 0.0175.
+    cfg_d = dataclasses.replace(cfg, blur=blur_spec)
+    step_d = make_train_step(cfg_d, vm_cfg, head)
+    m_dense_bbox = measure(step_d, None)
+    # bill the dense phase at the bbox rate until the windows are measured
+    cap.record("dense", m_dense_bbox)
+    print(f"[bench] dense (bbox-only) {m_dense_bbox['median_s']*1000:.1f} ms",
+          file=sys.stderr)
+
+    window_sigmas = [0.0525, 0.035, 0.0175]
+    if _SMALL:
+        window_sigmas = [sig / 10 for sig in window_sigmas]
+    # radius in MASK cells (trainer._blur_dilate_radius semantics: sigma
+    # converted at the capped mask resolution, capped by the kernel
+    # half-width converted from factor-grid to mask cells)
+    grid_scale = float(np.mean(np.asarray(res, np.float64) / 3.0))
+    mask_scale = float(np.mean(np.asarray(mres, np.float64) / 3.0))
+    ball_rng = np.random.default_rng(11)
+    ax0 = np.linspace(-1.5, 1.5, mres[0], dtype=np.float32)
+    ax1 = np.linspace(-1.5, 1.5, mres[1], dtype=np.float32)
+    ax2 = np.linspace(-1.5, 1.5, mres[2], dtype=np.float32)
+    BX, BY, BZ = np.meshgrid(ax0, ax1, ax2, indexing="ij")
+    sharp = np.zeros(tuple(mres), np.float32)
+    for _ in range(6):
+        cx, cy, cz = ball_rng.uniform(-0.9, 0.9, 3)
+        rad = ball_rng.uniform(0.25, 0.45)
+        sharp[(BX - cx) ** 2 + (BY - cy) ** 2 + (BZ - cz) ** 2
+              < rad * rad] = 1.0
+    sharp_mask = AlphaMask(grid=jnp.asarray(sharp),
+                           aabb=state.params.field.aabb)
+    halfw_mask = max(1, int(np.ceil((64 // 2) * mask_scale / grid_scale)))
+    win_rows, k_times = [], {}
+    for sig_w in window_sigmas:
+        r_blur = max(1, min(halfw_mask,
+                            int(np.ceil(5.0 * sig_w * mask_scale)) + 1))
+        bm = dilate_mask(sharp_mask, r_blur)
+        bk = probe_bbox_k(res, n_samples, mask=bm, pad=1.25)
+        if bbox_k is not None and bk is not None:
+            bk = min(bk, bbox_k)
+        if bk is not None and bbox_k is not None and bk >= bbox_k:
+            bk = None   # no win over the bbox budget for this window
+        print(f"[bench] dense blur-mask window sigma={sig_w}: dilated(r="
+              f"{r_blur}) occ {float(bm.grid.mean()):.3f}, K = {bk}",
+              file=sys.stderr)
+        if bk is None:
+            t_w = m_dense_bbox["median_s"]
+        else:
+            if bk not in k_times:
+                cfg_w = dataclasses.replace(
+                    cfg_d, use_alpha_mask=True, mask_with_blur=True,
+                    compact_k=bk)
+                k_times[bk] = measure(make_train_step(cfg_w, vm_cfg, head),
+                                      bm)["median_s"]
+            t_w = k_times[bk]
+        win_rows.append({"sigma_world": sig_w, "radius_cells": r_blur,
+                         "compact_k_blur": bk, "ms": round(t_w * 1000, 1)})
+        # refresh the dense phase estimate as each window lands
+        t_dense = float(np.mean(
+            [w_["ms"] for w_ in win_rows]
+            + [m_dense_bbox["median_s"] * 1000.0] * (len(window_sigmas)
+                                                     - len(win_rows))
+        )) / 1000.0
+        cap.extras["dense_blur_mask"] = {
+            "enabled": any(w_["compact_k_blur"] is not None
+                           for w_ in win_rows),
+            "windows": win_rows, "compact_k_bbox": bbox_k,
+            "ms_dense_bbox_only": round(m_dense_bbox["median_s"] * 1000, 1)}
+        cap.fresh["dense"] = dict(m_dense_bbox, median_s=t_dense)
+        cap.persist(partial=True)
+    t_dense = cap.fresh["dense"]["median_s"]
+    print(f"[bench] dense {t_dense*1000:.1f} ms (window mean; bbox-only "
+          f"{m_dense_bbox['median_s']*1000:.1f} ms; windows {win_rows})",
+          file=sys.stderr)
+
+    result = cap.result(partial=False)
+    cap.persist(partial=False)
     print(json.dumps(result))
 
 
