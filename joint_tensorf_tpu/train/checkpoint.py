@@ -207,4 +207,9 @@ def restore_checkpoint(path: str, trainer) -> None:
             packed=pack_neighborhoods(grid))
         trainer.compact_k = trainer._probe_compact_k()
         trainer.app_k_dyn = trainer._probe_app_k()
+    # restored leaves are host arrays: re-place them onto the mesh with
+    # their PartitionSpecs so a sharded trainer resumes sharded (the
+    # save->restore->resume cycle is crossed by dryrun_multichip)
+    if getattr(trainer, "mesh", None) is not None:
+        trainer._shard_state()
     trainer._step_cfg = None  # force step rebuild with restored shapes

@@ -666,9 +666,15 @@ class Trainer:
         opt = self.opt
         it = self.it
 
-        # 2D supervision blur cache refresh (nerf.py:172-175)
-        if self.blur_2d and it % 500 == 0:
+        # 2D supervision blur cache refresh (nerf.py:172-175).  Keyed on
+        # the 500-window START rather than `it % 500 == 0` so a trainer
+        # resumed mid-window rebuilds the cache immediately (a checkpoint
+        # can land on any iteration; the stale-cache KeyError only hid
+        # because freq.ckpt values were multiples of 500)
+        if self.blur_2d and getattr(self, "_blur_cache_at", None) != \
+                (it // 500) * 500:
             self._refresh_blur_cache()
+            self._blur_cache_at = (it // 500) * 500
 
         # pose resets (nerf.py:194-202, tensorf.py:406-411)
         ts = opt.train_schedule
