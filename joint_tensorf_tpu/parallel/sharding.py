@@ -81,6 +81,60 @@ def shard_state(mesh: Mesh, state, shard_components: bool = False):
                                                 shard_components))
 
 
+def rays_shardmap_vg(mesh: Mesh):
+    """value_and_grad transform: explicit shard_map over the rays axis.
+
+    With only in/out shardings + internal constraints, GSPMD is free to —
+    and measurably does (scripts/psum_volume.py round 5: zero field-grad
+    all-reduce bytes, ray all-gathers instead) — replicate the
+    gather/scatter-heavy render+VJP instead of partitioning it.  shard_map
+    removes that freedom: each device renders ITS ray shard against the
+    (comp-replicated) parameters and the gradients are explicitly
+    pmean-reduced — one psum of the field+pose gradient per step, exactly
+    the communication the scaling model budgets (BENCH_NOTES "Round-3
+    scaling model": 69.4 MB f32 at the headline parameter count).
+
+    Exactness: local losses are plain means over equal-sized ray shards,
+    so pmean(local losses) == the global mean, and pmean(local grads) ==
+    grad of the global mean (regularizer terms are identical on every
+    device and average to themselves).  Stratified jitter is pre-drawn
+    outside (make_train_step), sharded P(None, "rays") alongside ray_idx.
+    PSNR is recomputed from the reduced MSE (a mean of per-shard PSNRs
+    would not match the unsharded value).
+
+    Covers the rays-only layout (params replicated).  The comp-sharded
+    (tensor-parallel) layout still uses plain GSPMD propagation — its
+    density/appearance partial sums need in-render psums that shard_map
+    would have to thread through the renderer.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..train import losses
+
+    def transform(vg):
+        repl = P()
+        in_specs = (repl, repl, repl, repl, repl, repl, repl,
+                    P("rays"), P(None, "rays"), repl, repl, repl)
+        out_specs = ((repl, repl), repl)
+
+        def local(params, pose_base, intr, intr_inv, images, edge_masks,
+                  view_sel, ray_idx, jitter, rng, s, alpha_mask):
+            (loss, metrics), grads = vg(params, pose_base, intr, intr_inv,
+                                        images, edge_masks, view_sel,
+                                        ray_idx, jitter, rng, s, alpha_mask)
+            loss = jax.lax.pmean(loss, "rays")
+            metrics = {k: jax.lax.pmean(v, "rays")
+                       for k, v in metrics.items()}
+            metrics["psnr"] = losses.psnr_from_mse(metrics["mse"])
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, "rays"), grads)
+            return (loss, metrics), grads
+
+        return shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+    return transform
+
+
 def shard_train_step(step_fn, mesh: Mesh, state,
                      shard_components: bool = False):
     """jit a raw (unjitted) train step with explicit in/out shardings.

@@ -117,9 +117,16 @@ def sample_ray(aabb, step_size, n_samples: int, centers, dirs, rng,
 
 
 def sample_ray_axes(aabb, step_size, n_samples: int, centers, dirs, rng,
-                    near: float, far: float, stratified: bool):
+                    near: float, far: float, stratified: bool,
+                    jitter=None):
     """sample_ray in per-axis form: ((wx, wy, wz) each [N,S], z_vals,
     in_bbox, (t_min [N], jitter [N,1])).
+
+    ``jitter`` [N,1]: optionally pre-drawn stratified offsets.  The sharded
+    train step draws them OUTSIDE its shard_map so every device's rays get
+    the same offsets an unsharded step would give them (drawing inside a
+    ray-sharded region with a replicated key would hand each shard the
+    same offset sequence and break sharded==unsharded parity).
 
     The (t_min, jitter) tail lets the compaction path recompute z values of
     selected samples elementwise (z = t_min + step*(index + jitter)) instead
@@ -139,8 +146,9 @@ def sample_ray_axes(aabb, step_size, n_samples: int, centers, dirs, rng,
 
     steps = jnp.arange(n_samples, dtype=centers.dtype)[None, :]
     if stratified:
-        jitter = jax.random.uniform(rng, (centers.shape[0], 1),
-                                    dtype=centers.dtype)
+        if jitter is None:
+            jitter = jax.random.uniform(rng, (centers.shape[0], 1),
+                                        dtype=centers.dtype)
         steps = steps + jitter
     else:
         jitter = jnp.zeros((centers.shape[0], 1), dtype=centers.dtype)
@@ -159,13 +167,16 @@ def sample_ray_ndc(aabb, n_samples: int, centers, dirs, rng,
                    near: float, far: float, stratified: bool,
                    ndc_near_plane: float,
                    simulate_euclid_sample: bool,
-                   simulate_euclid_depth: bool):
+                   simulate_euclid_depth: bool,
+                   jitter=None):
     """NDC ray sampling with the grad-rescale trick (tensorBase.py:554-571)."""
     interpx = jnp.linspace(near, far, n_samples, dtype=centers.dtype)[None, :]
     interpx = jnp.broadcast_to(interpx, (centers.shape[0], n_samples))
     if stratified:
-        interpx = interpx + jax.random.uniform(
-            rng, interpx.shape, dtype=centers.dtype) * ((far - near) / n_samples)
+        if jitter is None:
+            jitter = jax.random.uniform(rng, interpx.shape,
+                                        dtype=centers.dtype)
+        interpx = interpx + jitter * ((far - near) / n_samples)
     ndc_depth = 2 * ndc_near_plane / (1 - ndc_near_plane - interpx)
     simulated = grad_rescale(interpx, ndc_depth)
     z_for_pts = simulated if simulate_euclid_sample else interpx
@@ -223,6 +234,7 @@ def render_rays(
     c2f_color: Any = None,
     view_pe_progress: Any = 1.0,
     fea_pe_progress: Any = 1.0,
+    ray_jitter=None,              # [N,1] euclid / [N,S] NDC (see sample_ray_axes)
 ):
     """Returns (rgb_map [N,3], depth_map [N], opacity [N])."""
     n = centers.shape[0]
@@ -248,7 +260,7 @@ def render_rays(
         pts, z_vals, in_bbox = sample_ray_ndc(
             aabb, S, centers, viewdirs, rng_samp, near_far[0], near_far[1],
             stratified, rcfg.ndc_near_plane, rcfg.ndc_simulate_euclid_sample,
-            rcfg.ndc_simulate_euclid_depth)
+            rcfg.ndc_simulate_euclid_depth, jitter=ray_jitter)
         dists = jnp.concatenate(
             [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])], -1)
         rays_norm = jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
@@ -260,7 +272,7 @@ def render_rays(
         step_size = jnp.mean(units) * cfg.step_ratio
         axes_w, z_vals, in_bbox, (t_min, jitter) = sample_ray_axes(
             aabb, step_size, S, centers, viewdirs, rng_samp,
-            near_far[0], near_far[1], stratified)
+            near_far[0], near_far[1], stratified, jitter=ray_jitter)
         dists = jnp.concatenate(
             [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])], -1)
 

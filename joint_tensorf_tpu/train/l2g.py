@@ -188,7 +188,8 @@ def local_pose_and_rays(l2g_cfg: L2GConfig, params: L2GParams, base_pose,
 
 
 def make_l2g_train_step(cfg: StepConfig, l2g_cfg: L2GConfig,
-                        vm_cfg: vm_lib.VMConfig, head, jit: bool = True):
+                        vm_cfg: vm_lib.VMConfig, head, jit: bool = True,
+                        ray_sharding=None):
     """Jitted L2G training step; same call contract as step.make_train_step
     (state, pose_base, intr, intr_inv, images, edge_masks, view_sel,
     ray_idx, rng, scalars, alpha_mask) -> (state, metrics).
@@ -198,6 +199,12 @@ def make_l2g_train_step(cfg: StepConfig, l2g_cfg: L2GConfig,
     """
     rcfg = cfg.render_config(is_train=True)
     ems = l2g_cfg.error_map_size
+
+    def _pin_rays(x):
+        # see make_train_step's ray_sharding note (anti-replication pin)
+        if ray_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, ray_sharding)
 
     def loss_fn(params: L2GParams, pose_base, intr, intr_inv, images,
                 edge_masks, view_sel, ray_idx, rng, s: StepScalars,
@@ -214,7 +221,8 @@ def make_l2g_train_step(cfg: StepConfig, l2g_cfg: L2GConfig,
         B, R_ = centers.shape[:2]
         rgb, depth, opacity = render_rays(
             params.field, vm_cfg, rcfg, head,
-            centers.reshape(-1, 3), dirs.reshape(-1, 3), rng,
+            _pin_rays(centers.reshape(-1, 3)),
+            _pin_rays(dirs.reshape(-1, 3)), rng,
             s.near_far, alpha_mask=alpha_mask, blur=cfg.blur,
             c2f_density=s.c2f_density, c2f_color=s.c2f_color,
             view_pe_progress=s.view_pe_progress,

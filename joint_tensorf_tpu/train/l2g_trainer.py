@@ -67,7 +67,8 @@ class L2GTrainer(Trainer):
 
     def _make_raw_step(self, cfg: StepConfig, jit: bool):
         return make_l2g_train_step(cfg, self.l2g_cfg, self.vm_cfg, self.head,
-                                   jit=jit)
+                                   jit=jit,
+                                   ray_sharding=self._ray_sharding())
 
     def _rebuild_opt_state(self, state: L2GState) -> L2GState:
         return dataclasses.replace(

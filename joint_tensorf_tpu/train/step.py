@@ -157,17 +157,44 @@ def compose_train_pose(params: Params, pose_base, view_sel, pose_opt: bool):
 
 
 def make_train_step(cfg: StepConfig, vm_cfg: vm_lib.VMConfig, head,
-                    jit: bool = True):
+                    jit: bool = True, ray_sharding=None, vg_transform=None):
     """Build the jitted training step.
 
     step(state, pose_base [V,3,4], intr [V,3,3], intr_inv, images [V,HW,3],
          edge_masks [V,HW], view_sel [Vs], ray_idx [R], rng, scalars,
          alpha_mask) -> (state, metrics)
+
+    ``ray_sharding`` (a NamedSharding over the mesh's rays axis, passed by
+    sharded callers): pins the flattened per-ray tensors P("rays") INSIDE
+    the step.  With only in/out shardings, GSPMD is free to all-gather the
+    tiny ray inputs and replicate the whole render+VJP — which it measurably
+    does at dry-run shapes (scripts/psum_volume.py round 5: zero field-grad
+    all-reduce bytes, two ray all-gathers), silently discarding the
+    data-parallel design.  The constraint forces the partitioner to keep
+    ray-proportional work sharded and to psum the replicated-param
+    gradients, at every shape (SURVEY §5.8 layout).
+
+    ``vg_transform`` (sharded callers): wraps the value_and_grad callable —
+    parallel.sharding.rays_shardmap_vg wraps it in a shard_map over the
+    mesh's rays axis with an explicit grad psum, because even WITH the
+    constraint above GSPMD may replicate the gather/scatter-heavy backward
+    (measured: scripts/psum_volume.py).  Stratified jitter is drawn
+    OUTSIDE the wrapped region (identical bits to the unsharded in-render
+    draw — verified element-count-invariant) so sharded == unsharded holds.
     """
     rcfg = cfg.render_config(is_train=True)
+    if vg_transform is not None:
+        # inside shard_map the mesh axes are manual — the constraint is
+        # both illegal and redundant there (placement is explicit)
+        ray_sharding = None
+
+    def _pin_rays(x):
+        if ray_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, ray_sharding)
 
     def loss_fn(params: Params, pose_base, intr, intr_inv, images, edge_masks,
-                view_sel, ray_idx, rng, s: StepScalars, alpha_mask):
+                view_sel, ray_idx, jitter, rng, s: StepScalars, alpha_mask):
         pose = compose_train_pose(params, pose_base, view_sel, cfg.pose_opt)
         centers, dirs = get_center_and_ray(cfg.H, cfg.W, pose,
                                            intr_inv[view_sel], ray_idx=ray_idx)
@@ -178,11 +205,14 @@ def make_train_step(cfg: StepConfig, vm_cfg: vm_lib.VMConfig, head,
         R = centers.shape[1]
         rgb, depth, opacity = render_rays(
             params.field, vm_cfg, rcfg, head,
-            centers.reshape(-1, 3), dirs.reshape(-1, 3), rng,
+            _pin_rays(centers.reshape(-1, 3)), _pin_rays(dirs.reshape(-1, 3)),
+            rng,
             s.near_far, alpha_mask=alpha_mask, blur=cfg.blur,
             c2f_density=s.c2f_density, c2f_color=s.c2f_color,
             view_pe_progress=s.view_pe_progress,
             fea_pe_progress=s.fea_pe_progress,
+            ray_jitter=(None if jitter is None
+                        else jitter.reshape(-1, jitter.shape[-1])),
         )
         rgb = rgb.reshape(B, R, 3)
         # take the (small) ray subset FIRST: images[view_sel] as the outer
@@ -202,17 +232,50 @@ def make_train_step(cfg: StepConfig, vm_cfg: vm_lib.VMConfig, head,
         loss = loss + s.tv_color_weight * vm_lib.tv_loss_app(params.field)
         if cfg.grid_hw is not None:
             gh, gw = cfg.grid_hw
-            loss = loss + s.tv_depth_weight * losses.depth_tv_loss(
-                depth.reshape(B, R), gh, gw)
+            d = depth.reshape(B, R)
+            if vg_transform is not None:
+                # under the rays shard_map each device holds a contiguous
+                # slice of the per-view ray grid; the TV stencil needs the
+                # whole grid (neighbor differences cross shard edges).
+                # depth is tiny (B x gh*gw), so gather it and compute the
+                # term replicated.  Its VALUE is then identical on every
+                # device but its GRAD flows only through each device's
+                # slice (the all_gather transpose), so the outer pmean
+                # would divide the grad by the axis size — compensate with
+                # the D*x - (D-1)*stop_grad(x) identity (value unchanged,
+                # grad scaled by D).
+                d = jax.lax.all_gather(d, "rays", axis=1, tiled=True)
+                tv_full = losses.depth_tv_loss(d, gh, gw)
+                D = jax.lax.psum(1.0, "rays")
+                tv_full = D * tv_full \
+                    - (D - 1.0) * jax.lax.stop_gradient(tv_full)
+            else:
+                tv_full = losses.depth_tv_loss(d, gh, gw)
+            loss = loss + s.tv_depth_weight * tv_full
         metrics = {"loss": loss, "mse": plain_mse,
                    "psnr": losses.psnr_from_mse(plain_mse)}
         return loss, metrics
 
     def step(state: TrainState, pose_base, intr, intr_inv, images, edge_masks,
              view_sel, ray_idx, rng, s: StepScalars, alpha_mask):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        vg = jax.value_and_grad(loss_fn, has_aux=True)
+        jitter = None
+        if vg_transform is not None:
+            # pre-draw the stratified jitter with the renderer's exact key
+            # split/draw sequence (bit-identical to the unsharded in-render
+            # draw), so the shard_map region needs no sharded RNG
+            vs = view_sel.shape[0]
+            r = ray_idx.shape[-1]
+            rng_samp, _ = jax.random.split(rng)
+            jshape = (vs, r, cfg.n_samples) if cfg.ndc else (vs, r, 1)
+            if cfg.stratified:
+                jitter = jax.random.uniform(rng_samp, jshape)
+            else:
+                jitter = jnp.zeros(jshape)
+            vg = vg_transform(vg)
+        (loss, metrics), grads = vg(
             state.params, pose_base, intr, intr_inv, images, edge_masks,
-            view_sel, ray_idx, rng, s, alpha_mask)
+            view_sel, ray_idx, jitter, rng, s, alpha_mask)
 
         # ---- scene update (every step)
         lr_tree = field_lr_tree(state.params.field, s.lr_index, s.lr_basis)

@@ -654,7 +654,27 @@ class Trainer:
 
     def _make_raw_step(self, cfg: StepConfig, jit: bool):
         """Raw step constructor — overridden by L2GTrainer."""
-        return make_train_step(cfg, self.vm_cfg, self.head, jit=jit)
+        return make_train_step(cfg, self.vm_cfg, self.head, jit=jit,
+                               ray_sharding=self._ray_sharding(),
+                               vg_transform=self._vg_transform())
+
+    def _ray_sharding(self):
+        """NamedSharding pinning per-ray tensors inside the step (None on a
+        single device) — see make_train_step's ray_sharding note."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P("rays"))
+
+    def _vg_transform(self):
+        """shard_map grad transform for the rays-only layout (the
+        comp-sharded layout keeps GSPMD propagation; rays_shardmap_vg)."""
+        if self.mesh is None or self.shard_components:
+            return None
+        from ..parallel.sharding import rays_shardmap_vg
+
+        return rays_shardmap_vg(self.mesh)
 
     def _rebuild_opt_state(self, state):
         """Fresh optimizer moments after a shape transition — overridden by

@@ -235,3 +235,43 @@ def test_densify_gate_flips_on_rays_per_chip():
     tr2._ensure_step("per_view", n_rays, blur_active=True, grid_hw=None)
     assert not tr2._step_cfg.densify_density, \
         "4-way rays sharding drops below threshold -> factored path"
+
+
+def test_trainer_rays_only_shardmap_matches_unsharded():
+    """The rays-only mesh layout routes through the explicit shard_map
+    grad transform (parallel.sharding.rays_shardmap_vg) — GSPMD measurably
+    replicated this backward when left to propagation alone
+    (scripts/psum_volume.py round 5).  Pin that the shard_map run tracks
+    the single-device run; jitter is pre-drawn shard-invariantly so the
+    trajectories should agree to reduction-order tolerance."""
+    from joint_tensorf_tpu.data import load_dataset
+    from joint_tensorf_tpu.train.trainer import Trainer
+
+    opt_ref = _small_bat_opt(["--nerf.n_rays=256",
+                              "--train_schedule.n_rays_init=256",
+                              "--train_schedule.n_rays_rest=256"])
+    scene = load_dataset(opt_ref, "train")
+    tr_ref = Trainer(opt_ref, scene)
+    hist_ref = tr_ref.run(max_iter=14, log_every=2)
+
+    opt_sh = _small_bat_opt(["--tpu.mesh_shape=[8]",
+                             "--tpu.mesh_axes=[rays]",
+                             "--nerf.n_rays=256",
+                             "--train_schedule.n_rays_init=256",
+                             "--train_schedule.n_rays_rest=256"])
+    tr_sh = Trainer(opt_sh, scene)
+    assert tr_sh.mesh is not None and not tr_sh.shard_components
+    assert tr_sh._vg_transform() is not None, \
+        "rays-only mesh must use the shard_map grad transform"
+    hist_sh = tr_sh.run(max_iter=14, log_every=2)
+
+    assert tr_sh.resolution == tr_ref.resolution
+    assert tr_sh.compact_k == tr_ref.compact_k
+    for h_ref, h_sh in zip(hist_ref, hist_sh):
+        assert h_ref["it"] == h_sh["it"]
+        np.testing.assert_allclose(h_sh["loss"], h_ref["loss"],
+                                   rtol=5e-2, atol=1e-5)
+    se3_ref = np.asarray(tr_ref.state.params.se3_refine)
+    se3_sh = np.asarray(tr_sh.state.params.se3_refine)
+    assert np.abs(se3_ref).max() > 0
+    np.testing.assert_allclose(se3_sh, se3_ref, rtol=0.1, atol=2e-4)
