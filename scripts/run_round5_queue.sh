@@ -103,30 +103,15 @@ stop_check
 
 # ---- B. LLFF/NDC parallax demonstration ------------------------------------
 if [ ! -f "$WT/output/synthetic/llff_parallax_r5/quant.json" ]; then
-  run_arm "$WT" 12000 /tmp/q5_parallax.log \
+  run_arm "$WT" 9500 /tmp/q5_parallax.log \
     python -u train.py --yaml=configs/bat_synthetic_llff_parallax.yaml \
       --name=llff_parallax_r5
   collect "$WT" synthetic/llff_parallax_r5
   if [ -f "$WT/output/synthetic/llff_parallax_r5/model.ckpt.npz" ]; then
-    run_arm "$WT" 3600 /tmp/q5_eval_parallax.log \
+    run_arm "$WT" 2700 /tmp/q5_eval_parallax.log \
       python -u evaluate.py --yaml=configs/bat_synthetic_llff_parallax.yaml \
         --name=llff_parallax_r5
     collect "$WT" synthetic/llff_parallax_r5
-  fi
-fi
-stop_check
-
-# ---- C. appk128 bisect arm -------------------------------------------------
-if [ ! -f "$WT/output/synthetic/convergence_20k_r5_appk128/quant.json" ]; then
-  run_arm "$WT" 6000 /tmp/q5_appk128.log \
-    python -u train.py --yaml=configs/bat_synthetic_convergence_20k.yaml \
-      --tpu.app_k=128 --tpu.app_k_auto! --name=convergence_20k_r5_appk128
-  collect "$WT" synthetic/convergence_20k_r5_appk128
-  if [ -f "$WT/output/synthetic/convergence_20k_r5_appk128/model.ckpt.npz" ]; then
-    run_arm "$WT" 2700 /tmp/q5_eval_appk128.log \
-      python -u evaluate.py --yaml=configs/bat_synthetic_convergence_20k.yaml \
-        --tpu.app_k=128 --tpu.app_k_auto! --name=convergence_20k_r5_appk128
-    collect "$WT" synthetic/convergence_20k_r5_appk128
   fi
 fi
 stop_check
@@ -143,6 +128,21 @@ if [ -f "$REPO/configs/barf_synthetic_convergence_20k.yaml" ] && \
       python -u evaluate.py --yaml=configs/barf_synthetic_convergence_20k.yaml \
         --name=barf_convergence_20k_r5
     collect "$REPO" synthetic/barf_convergence_20k_r5
+  fi
+fi
+stop_check
+
+# ---- C. appk128 bisect arm -------------------------------------------------
+if [ ! -f "$WT/output/synthetic/convergence_20k_r5_appk128/quant.json" ]; then
+  run_arm "$WT" 5400 /tmp/q5_appk128.log \
+    python -u train.py --yaml=configs/bat_synthetic_convergence_20k.yaml \
+      --tpu.app_k=128 --tpu.app_k_auto! --name=convergence_20k_r5_appk128
+  collect "$WT" synthetic/convergence_20k_r5_appk128
+  if [ -f "$WT/output/synthetic/convergence_20k_r5_appk128/model.ckpt.npz" ]; then
+    run_arm "$WT" 1800 /tmp/q5_eval_appk128.log \
+      python -u evaluate.py --yaml=configs/bat_synthetic_convergence_20k.yaml \
+        --tpu.app_k=128 --tpu.app_k_auto! --name=convergence_20k_r5_appk128
+    collect "$WT" synthetic/convergence_20k_r5_appk128
   fi
 fi
 
