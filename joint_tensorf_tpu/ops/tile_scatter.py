@@ -125,7 +125,7 @@ def _scatter_add_rows_tiled(idx, updates, n_rows: int, interpret: bool):
     upd_s = jnp.take(updates, order, axis=0)
     # pad the sample axis so aligned CHUNK slices never run off the end;
     # padded entries carry idx = n_blocks*BLOCK_ROWS and land on each
-    # block's scratch row (the +1 row below), discarded at the slice
+    # block's scratch rows (the +8 below), discarded at the slice
     pad_n = (-N) % CHUNK + CHUNK
     idx_s = jnp.pad(idx_s, (0, pad_n), constant_values=n_blocks * BLOCK_ROWS)
     upd_s = jnp.pad(upd_s, ((0, pad_n), (0, C_pad - C)))
@@ -145,15 +145,16 @@ def _scatter_add_rows_tiled(idx, updates, n_rows: int, interpret: bool):
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec(
-                # +1 scratch row per block parks out-of-block samples
-                (BLOCK_ROWS + 1, C_pad),
+                # +8 scratch rows per block park out-of-block samples
+                # (8, not 1: Mosaic block shapes need sublane-multiple rows)
+                (BLOCK_ROWS + 8, C_pad),
                 lambda j, starts: (j, 0),
                 memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (n_blocks * (BLOCK_ROWS + 1), C_pad), jnp.float32),
+            (n_blocks * (BLOCK_ROWS + 8), C_pad), jnp.float32),
         interpret=interpret,
     )(starts, idx_s, upd_s)
 
-    out = out.reshape(n_blocks, BLOCK_ROWS + 1, C_pad)[:, :BLOCK_ROWS, :]
+    out = out.reshape(n_blocks, BLOCK_ROWS + 8, C_pad)[:, :BLOCK_ROWS, :]
     return out.reshape(n_blocks * BLOCK_ROWS, C_pad)[:n_rows, :C]
