@@ -1,25 +1,42 @@
 """Row scatter-add via a tile-local VMEM accumulator (round 5, VERDICT #1).
 
-The tile-local variant sketched in docs/DESIGN_NOTES.md ("Binned-gather
-Pallas kernel", steps 1-4): destination rows are tiled into blocks; sorted
-samples for one block form a contiguous range; each grid program
-accumulates its samples into a VMEM-resident block with DIRECT dynamic
-row read-modify-writes (indices staged in SMEM so the scalar reads are
-cheap), and flushes the block once — instead of the one-hot matmuls of
-ops/segment_scatter.py (whose FLOP over-compute was that kernel's
-measured downfall) and instead of XLA's row-at-a-time scatter emit
-(~17 ns/row at the production shapes, scripts/scatter_probe.py).
+STATUS: measured DEAD END on v5e (2026-08-21) — kept, tested and
+benchmarked as the design-space record closing the tile-local question
+the round-3/4 notes left open.  scripts/tile_scatter_bench.py
+decomposition at the production shapes:
 
-What this kernel tests, on real hardware, is the round-4 cycle-arithmetic
-claim (DESIGN_NOTES "Measured dead ends"): that a dynamic VMEM RMW costs
-8-15 cycles/row and therefore cannot beat the XLA emit it replaces.  The
-XLA-side preprocessing (key sort + row permute) is shared with
-segment_scatter and is itself a row op of the same magnitude as the
-scatter (measured ~12-13 ms of segment_scatter_bench's 17.2 ms total at
-[524k,64]->90k) — so for this route to win END TO END, the in-kernel
-accumulate rate must beat the XLA emit by enough to also pay the permute.
-scripts/tile_scatter_bench.py measures the decomposition; the verdict is
-recorded there and in BENCH_NOTES.md.
+    [524k,64]->90k   : XLA scatter 10.3 ms (19.7 ns/row)
+                       argsort 2.9 | argsort+permute 13.8
+                       segsum total 18.2 (accumulate ~4.4)
+                       tilesum total 20.5 (accumulate ~6.7)
+    [524k,64]->160k  : XLA 10.1 | sort+permute 13.8 | tilesum 21.5
+    [131k,192]->160k : XLA 6.3 (48 ns/row) | sort+permute 6.3
+                       | tilesum 11.0 (accumulate ~4.7)
+
+Two independent kill conditions, both now MEASURED rather than argued:
+  1. The sorted-route preprocessing (key sort + row permute of the
+     updates) alone costs MORE than XLA's entire scatter — 13.8 vs
+     10.3 ms — and every sorted scheme pays it (the permute is itself a
+     row op at the same ~20 ns/row wall).
+  2. The in-kernel accumulate floor: direct VMEM row RMW runs at
+     ~12.7 ns/row (≈12 cycles — confirming the round-4 cycle-arithmetic
+     estimate of 8-15), the one-hot-matmul accumulate at ~8.4 ns/row;
+     neither is far enough below the 19.7 ns/row emit to buy back any
+     preprocessing at all.
+
+Conclusion recorded in BENCH_NOTES/DESIGN_NOTES: XLA's scatter emit
+(~17-20 ns/update-row, C-independent to 128 lanes) is effectively the
+hardware floor for random row scatter-add on this chip; the remaining
+compacted-step headroom is algorithmic (fewer rows), not kernel-level.
+
+The tile-local design (what was sketched in docs/DESIGN_NOTES.md
+"Binned-gather Pallas kernel", steps 1-4): destination rows are tiled
+into blocks; sorted samples for one block form a contiguous range; each
+grid program accumulates its samples into a VMEM-resident block with
+DIRECT dynamic row read-modify-writes (indices staged in SMEM so the
+scalar reads are cheap), and flushes the block once — instead of the
+one-hot matmuls of ops/segment_scatter.py and instead of XLA's
+row-at-a-time emit.
 
 Equivalent to the reference's autograd scatter into F.grid_sample's
 operand (tensoRF.py:230-270 backward); exactness vs .at[].add is pinned
@@ -55,7 +72,7 @@ def _kernel(C: int, starts_ref, idx_hbm, upd_hbm, out_ref):
             off = a0 + c * CHUNK
             ci = pltpu.make_async_copy(
                 idx_hbm.at[pl.ds(off, CHUNK)],
-                idx_smem.at[slot], sem_i.at[slot])
+                idx_smem.at[pl.ds(slot * CHUNK, CHUNK)], sem_i.at[slot])
             cu = pltpu.make_async_copy(
                 upd_hbm.at[pl.ds(off, CHUNK), :],
                 upd_vmem.at[slot], sem_u.at[slot])
@@ -81,21 +98,21 @@ def _kernel(C: int, starts_ref, idx_hbm, upd_hbm, out_ref):
             # (alignment slack riding in from neighbours, sorted-pad
             # samples) are parked on the scratch row below the block.
             def sbody(s, _):
-                r = idx_smem[slot, s] - base
+                r = idx_smem[slot * CHUNK + s] - base
                 in_block = (r >= 0) & (r < BLOCK_ROWS)
                 r_safe = jnp.where(in_block, r, BLOCK_ROWS)
                 out_ref[pl.ds(r_safe, 1), :] += upd_vmem[
                     slot, pl.ds(s, 1), :]
                 return ()
 
-            jax.lax.fori_loop(0, CHUNK, sbody, (), unroll=8)
+            jax.lax.fori_loop(0, CHUNK, sbody, (), unroll=1)
             return ()
 
         jax.lax.fori_loop(0, n_chunks, body, ())
 
     pl.run_scoped(
         scoped,
-        idx_smem=pltpu.SMEM((NBUF, CHUNK), jnp.int32),
+        idx_smem=pltpu.SMEM((NBUF * CHUNK,), jnp.int32),
         upd_vmem=pltpu.VMEM((NBUF, CHUNK, C), jnp.float32),
         sem_i=pltpu.SemaphoreType.DMA((NBUF,)),
         sem_u=pltpu.SemaphoreType.DMA((NBUF,)),
