@@ -77,3 +77,19 @@ def test_update_alphamask_cap_disabled_restores_reference_skip():
     tr.run(max_iter=12, log_every=100)
     assert tr.alpha_mask is None, \
         "mask_res_cap off must reproduce the reference's skip"
+
+
+def test_blur_mask_refresh_builds_at_capped_res():
+    # blur active through it 12 (anneals at progress 0.3 of max_iter 40),
+    # final res from it 4; cap below the final 48^3 volume: the refresh
+    # must build its dilated mask at the capped res (and still probe)
+    opt = _opt(["--tpu.mask_cap_voxels=27000", "--tpu.blur_mask_refresh=3",
+                "--max_iter=40"])
+    scene = load_dataset(opt, "train")
+    tr = Trainer(opt, scene)
+    tr.run(max_iter=10, log_every=100)
+    assert tr._blur_mask_built_at is not None, \
+        "blur-mask refresh never ran under the cap"
+    if tr.alpha_mask_blur is not None:
+        g = tr.alpha_mask_blur.grid
+        assert g.shape[0] * g.shape[1] * g.shape[2] <= 27000
