@@ -469,18 +469,37 @@ def main():
                      blur=None, compact_k=bbox_k)
     print(f"[bench] mask res {mres}, dense bbox compact_k = {bbox_k}",
           file=sys.stderr)
-    cfg_c = dataclasses.replace(cfg, use_alpha_mask=True,
-                                compact_k=compact_k, blur=None,
-                                densify_density=False, app_k=app_k)
-    step_c = make_train_step(cfg_c, vm_cfg, head)
-    m_compact = measure(step_c, alpha_mask)
-    t_compact = m_compact["median_s"]
-    cap.extras.update({"median_of": m_compact["reps"],
+    # the compacted phase spans it 12k-40k, AFTER the alpha-mask updates
+    # where the shipped default `app_k_auto` raises the appearance cap to
+    # the measured 98th-quantile gate count — 192 on the synthetic 20k
+    # protocol (convergence_20k_r5_default: 64 -> 128 -> 192; the fixed-64
+    # cap is the bisected -6 dB quality bug).  Bill the headline at the
+    # measured auto-raised cap; the 64 variant is carried in detail for
+    # round-3/4 comparability.
+    app_k_raised = 192 if not _SMALL else app_k
+    cfg_c64 = dataclasses.replace(cfg, use_alpha_mask=True,
+                                  compact_k=compact_k, blur=None,
+                                  densify_density=False, app_k=app_k)
+    m_compact64 = measure(make_train_step(cfg_c64, vm_cfg, head), alpha_mask)
+    print(f"[bench] compact(app_k=64) {m_compact64['median_s']*1000:.1f} ms",
+          file=sys.stderr)
+    cap.extras.update({"median_of": m_compact64["reps"],
                        "compact_k": compact_k, "n_rays": n_rays,
                        "n_samples": n_samples, "res": list(res),
-                       "mask_res": list(mres)})
-    cap.record("compacted", m_compact)
-    print(f"[bench] compact {t_compact*1000:.1f} ms", file=sys.stderr)
+                       "mask_res": list(mres),
+                       "ms_compacted_appk64": round(
+                           m_compact64["median_s"] * 1000, 1)})
+    cap.record("compacted", m_compact64)   # partial record ASAP
+    if app_k_raised != app_k:
+        cfg_c = dataclasses.replace(cfg_c64, app_k=app_k_raised)
+        m_compact = measure(make_train_step(cfg_c, vm_cfg, head), alpha_mask)
+        cap.extras["app_k_compacted"] = app_k_raised
+        cap.record("compacted", m_compact)
+    else:
+        m_compact = m_compact64
+    t_compact = m_compact["median_s"]
+    print(f"[bench] compact {t_compact*1000:.1f} ms "
+          f"(app_k={app_k_raised})", file=sys.stderr)
 
     # Roofline: analytic multi-resource bound for the compacted step (the
     # binding phase): the step is ROW-OP LATENCY bound, not bandwidth
@@ -491,7 +510,7 @@ def main():
     # computed from the KNOWN shapes; bound_fraction = composite/measured
     # says how far from speed-of-light the step is.  Class times validated
     # against the device trace (scripts/phase_profile.py), see BENCH_NOTES.
-    K2 = app_k
+    K2 = app_k_raised
     K = compact_k
     n = n_rays
     Rd, Ra = 16, 48
