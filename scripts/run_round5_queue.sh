@@ -102,7 +102,14 @@ fi
 stop_check
 
 # ---- B. LLFF/NDC parallax demonstration ------------------------------------
-if [ ! -f "$WT/output/synthetic/llff_parallax_r5/quant.json" ]; then
+# time gate: the train+eval pair needs ~3.3 h; starting it into a shorter
+# window (late tunnel recovery) would burn the chip time that the BARF +
+# appk128 arms COULD finish — skip B when started too late (round-5 round
+# ends ~07:45; 04:30 leaves the pair just enough).
+B_LATE="${Q5_B_DEADLINE:-$(date -d 04:30 +%s 2>/dev/null || echo 0)}"
+if [ "$(date +%s)" -gt "$B_LATE" ] 2>/dev/null; then
+  log "arm B skipped: past its start deadline (late tunnel window)"
+elif [ ! -f "$WT/output/synthetic/llff_parallax_r5/quant.json" ]; then
   run_arm "$WT" 9500 /tmp/q5_parallax.log \
     python -u train.py --yaml=configs/bat_synthetic_llff_parallax.yaml \
       --name=llff_parallax_r5
