@@ -578,6 +578,22 @@ class Trainer:
         # blur-active culling: use the dilated mask + its measured budget
         # when available (_refresh_blur_mask), else the exact in-bbox gate
         mask_with_blur = blur_active and self.compact_k_blur is not None
+        # two-stage appearance cap: once MASK compaction is active the
+        # auto-raised cap (~192 of K=256 on the 20k protocol) approaches
+        # the compacted sample count, so the two-stage machinery saves
+        # ~nothing while paying separate C=192 gathers/scatters + top_k +
+        # selection rows; dense appearance over the compacted K rides the
+        # FUSED C=256 rows instead and is exact (zero clipping — the
+        # reference's true weight>thres semantics).  tpu.app_k_dense_only
+        # drops the cap for mask-compacted phases (kept for dense/early
+        # phases, where S=1000 makes dense appearance genuinely expensive).
+        mask_compacted = (not blur_active) and self.compact_k is not None
+        app_k_val = (self.app_k_dyn if self.app_k_dyn is not None
+                     else (int(self.opt.tpu.app_k)
+                           if self.opt.tpu.get("app_k") else None))
+        if mask_compacted and bool(self.opt.tpu.get("app_k_dense_only",
+                                                    False)):
+            app_k_val = None
         cfg = StepConfig(
             H=self.H, W=self.W, n_views=self.n_views,
             rays_per_view=n_rays, n_samples=self.n_samples,
@@ -623,9 +639,7 @@ class Trainer:
                                      "densify_min_samples_per_chip", 100000))),
             densify_impl=str(self.opt.tpu.get("densify_impl", "packed8")),
             densify_dtype=str(self.opt.tpu.get("densify_dtype", "float32")),
-            app_k=(self.app_k_dyn if self.app_k_dyn is not None
-                   else (int(self.opt.tpu.app_k)
-                         if self.opt.tpu.get("app_k") else None)),
+            app_k=app_k_val,
             mask_stride=int(self.opt.tpu.get("mask_stride", 4)),
             pin_first_pose=bool(
                 self.opt.train_schedule.get("pin_first_pose", False)),

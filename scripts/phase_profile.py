@@ -91,7 +91,9 @@ def build(phase: str, kv: dict):
         densify_density=True,
         densify_impl=str(kv.get("impl", "lane")),
         densify_dtype="bfloat16" if kv.get("bf") else "float32",
-        app_k=int(kv["app_k"]) if kv.get("app_k") else 64,
+        # app_k=0 -> None (dense/fused appearance; tpu.app_k_dense_only)
+        app_k=(None if kv.get("app_k") == "0"
+               else int(kv["app_k"]) if kv.get("app_k") else 64),
         compact_k=int(kv["compact_k"]) if kv.get("compact_k") else None,
         blur=BlurSpec(mode="uniform-gaussian", kernel_size=64)
         if blur else None)

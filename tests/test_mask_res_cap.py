@@ -93,3 +93,29 @@ def test_blur_mask_refresh_builds_at_capped_res():
     if tr.alpha_mask_blur is not None:
         g = tr.alpha_mask_blur.grid
         assert g.shape[0] * g.shape[1] * g.shape[2] <= 27000
+
+
+def test_app_k_dense_only_drops_cap_at_mask_compacted_phase():
+    """tpu.app_k_dense_only: the appearance cap applies to dense/early
+    phases but is dropped (None -> fused exact appearance) once MASK
+    compaction is active (trainer._ensure_step)."""
+    # S=256 so the compaction probe has room to engage (its K floor is
+    # 128; at the default S=64 it always declines and the test is vacuous)
+    opt = _opt(["--tpu.app_k_dense_only", "--nerf.sample_intvs=256"])
+    scene = load_dataset(opt, "train")
+    tr = Trainer(opt, scene)
+    tr.run(max_iter=6, log_every=100)          # pre-mask: cap in force
+    assert tr._step_cfg.app_k is not None
+    tr.run(max_iter=16, log_every=100)         # alphamask at it 8; the
+    # c2f blur anneals to zero at progress 0.3 = it 12 (cap applies only
+    # to blur-free mask-compacted steps)
+    assert tr.alpha_mask is not None
+    assert tr.compact_k is not None, \
+        "compaction did not engage; raise S or loosen the scene"
+    assert tr._step_cfg.app_k is None, \
+        "cap must drop at the mask-compacted phase"
+    # control: default keeps the cap everywhere
+    opt2 = _opt(["--nerf.sample_intvs=256"])
+    tr2 = Trainer(opt2, load_dataset(opt2, "train"))
+    tr2.run(max_iter=16, log_every=100)
+    assert tr2._step_cfg.app_k is not None
