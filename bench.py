@@ -495,11 +495,26 @@ def main():
         m_compact = measure(make_train_step(cfg_c, vm_cfg, head), alpha_mask)
         cap.extras["app_k_compacted"] = app_k_raised
         cap.record("compacted", m_compact)
+        # candidate config (tpu.app_k_dense_only): NO cap at compacted
+        # phases — dense fused appearance over the compacted K (exact,
+        # zero clipping; rides C=256 fused rows instead of separate
+        # C=192 two-stage rows).  Carried in detail; becomes the headline
+        # if the default flips after measurement.
+        cfg_cn = dataclasses.replace(cfg_c64, app_k=None)
+        m_cn = measure(make_train_step(cfg_cn, vm_cfg, head), alpha_mask)
+        cap.extras["ms_compacted_appknone_fused"] = round(
+            m_cn["median_s"] * 1000, 1)
+        if bool(int(os.environ.get("JTF_BENCH_APPK_DENSE_ONLY", "0"))):
+            m_compact = m_cn
+            cap.extras["app_k_compacted"] = None
+            cap.record("compacted", m_cn)
+        cap.persist(partial=True)
     else:
         m_compact = m_compact64
     t_compact = m_compact["median_s"]
     print(f"[bench] compact {t_compact*1000:.1f} ms "
-          f"(app_k={app_k_raised})", file=sys.stderr)
+          f"(app_k={cap.extras.get('app_k_compacted', app_k)})",
+          file=sys.stderr)
 
     # Roofline: analytic multi-resource bound for the compacted step (the
     # binding phase): the step is ROW-OP LATENCY bound, not bandwidth

@@ -101,6 +101,22 @@ if [ ! -f "$WT/output/synthetic/convergence_20k_r5_default/quant.json" ]; then
 fi
 stop_check
 
+# ---- P0. app_k_dense_only decision measurement (fast, ~8 min) --------------
+# compacted step at app_k=192 (auto-raised two-stage) vs app_k=0 (dense
+# fused appearance over compacted K): decides tpu.app_k_dense_only's
+# default + the bench headline billing.  Runs before the long arms so a
+# short tunnel window still captures it.
+if [ ! -f /tmp/p5_appk_decision.log ]; then
+  run_arm "$REPO" 900 /tmp/p5_appk192.log \
+    python -u scripts/phase_profile.py compact res=400 app_k=192 notrace=1
+  run_arm "$REPO" 900 /tmp/p5_appk0.log \
+    python -u scripts/phase_profile.py compact res=400 app_k=0 notrace=1
+  { grep -h "ms/step" /tmp/p5_appk192.log /tmp/p5_appk0.log \
+      || true; } > /tmp/p5_appk_decision.log
+  log "app_k decision measurements captured"
+fi
+stop_check
+
 # ---- B. LLFF/NDC parallax demonstration ------------------------------------
 # time gate: the train+eval pair needs ~3.3 h; starting it into a shorter
 # window (late tunnel recovery) would burn the chip time that the BARF +
