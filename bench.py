@@ -197,8 +197,9 @@ class _Capture:
     PHASE_KEYS = {"compacted": "ms_compacted", "early": "ms_early",
                   "dense": "ms_dense"}
 
-    def __init__(self, n_rays):
+    def __init__(self, n_rays, shape_sig=None):
         self.n_rays = n_rays
+        self.shape_sig = shape_sig
         self.fresh = {}
         self.extras = {}
         self.carried = {}
@@ -207,12 +208,18 @@ class _Capture:
                 with open(_LAST_GOOD) as f:
                     prev = json.load(f)
                 det = prev.get("detail", {})
-                for ph, key in self.PHASE_KEYS.items():
-                    if det.get(key) is not None:
-                        self.carried[ph] = {
-                            "median_s": det[key] / 1000.0,
-                            "captured_at": prev.get("captured_at",
-                                                    "unknown")}
+                # only carry phases measured at the SAME workload shapes —
+                # mixing e.g. a 300^3 dense time into a 400^3 headline
+                # would publish a rays/s of no real workload
+                prev_sig = [det.get("res"), det.get("n_rays"),
+                            det.get("n_samples")]
+                if shape_sig is None or prev_sig == list(shape_sig):
+                    for ph, key in self.PHASE_KEYS.items():
+                        if det.get(key) is not None:
+                            self.carried[ph] = {
+                                "median_s": det[key] / 1000.0,
+                                "captured_at": prev.get("captured_at",
+                                                        "unknown")}
             except Exception:
                 pass
 
@@ -336,7 +343,7 @@ def main():
 
     rays_per_view = max(1, n_rays_total // n_views)
     n_rays = rays_per_view * n_views
-    cap = _Capture(n_rays)
+    cap = _Capture(n_rays, shape_sig=(list(res), n_rays, n_samples))
 
     # per-phase hot-path config matches train/trainer.py _ensure_step:
     # dense/early phases use the dense-grid density expansion + two-stage
@@ -525,7 +532,10 @@ def main():
     # computed from the KNOWN shapes; bound_fraction = composite/measured
     # says how far from speed-of-light the step is.  Class times validated
     # against the device trace (scripts/phase_profile.py), see BENCH_NOTES.
-    K2 = app_k_raised
+    # roofline row census must match the step variant the headline bills
+    # (two-stage K2=192, or all-K fused appearance under the rebill)
+    K2 = (compact_k if cap.extras.get("app_k_compacted", app_k_raised)
+          is None else app_k_raised)
     K = compact_k
     n = n_rays
     Rd, Ra = 16, 48
@@ -571,7 +581,6 @@ def main():
                                aabb, n_views)
     S_e = 443 if not _SMALL else n_samples
     bbox_k_e = probe_bbox_k(res_e, S_e)
-    blur_spec = None
     from joint_tensorf_tpu.render.renderer import BlurSpec
     blur_spec = BlurSpec(mode="uniform-gaussian", kernel_size=64)
     cfg_e = StepConfig(H=H, W=W, n_views=n_views, rays_per_view=rays_per_view,

@@ -238,20 +238,16 @@ def make_train_step(cfg: StepConfig, vm_cfg: vm_lib.VMConfig, head,
                 # slice of the per-view ray grid; the TV stencil needs the
                 # whole grid (neighbor differences cross shard edges).
                 # depth is tiny (B x gh*gw), so gather it and compute the
-                # term replicated.  Its VALUE is then identical on every
-                # device but its GRAD flows only through each device's
-                # slice (the all_gather transpose), so the outer pmean
-                # would divide the grad by the axis size — compensate with
-                # the D*x - (D-1)*stop_grad(x) identity (value unchanged,
-                # grad scaled by D).
+                # term replicated.  No grad compensation is needed: the
+                # all_gather transpose is psum_scatter, which already SUMS
+                # the identical cotangents from all D devices before
+                # slicing, exactly cancelling the outer pmean's 1/D
+                # (verified numerically in the round-5 review — a D*x -
+                # (D-1)*stop_grad(x) "fix" here makes the grad D x too
+                # large).
                 d = jax.lax.all_gather(d, "rays", axis=1, tiled=True)
-                tv_full = losses.depth_tv_loss(d, gh, gw)
-                D = jax.lax.psum(1.0, "rays")
-                tv_full = D * tv_full \
-                    - (D - 1.0) * jax.lax.stop_gradient(tv_full)
-            else:
-                tv_full = losses.depth_tv_loss(d, gh, gw)
-            loss = loss + s.tv_depth_weight * tv_full
+            loss = loss + s.tv_depth_weight * losses.depth_tv_loss(
+                d, gh, gw)
         metrics = {"loss": loss, "mse": plain_mse,
                    "psnr": losses.psnr_from_mse(plain_mse)}
         return loss, metrics

@@ -675,7 +675,7 @@ class Trainer:
     def _ray_sharding(self):
         """NamedSharding pinning per-ray tensors inside the step (None on a
         single device) — see make_train_step's ray_sharding note."""
-        if self.mesh is None:
+        if self.mesh is None or "rays" not in self.mesh.axis_names:
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -684,7 +684,8 @@ class Trainer:
     def _vg_transform(self):
         """shard_map grad transform for the rays-only layout (the
         comp-sharded layout keeps GSPMD propagation; rays_shardmap_vg)."""
-        if self.mesh is None or self.shard_components:
+        if self.mesh is None or self.shard_components or \
+                "rays" not in self.mesh.axis_names:
             return None
         from ..parallel.sharding import rays_shardmap_vg
 

@@ -11,6 +11,7 @@ LOCK=/tmp/q5_queue.lock
 log() { echo "[super5 $(date +%H:%M:%S)] $*" | tee -a /tmp/queue_r5.log; }
 
 arms_remaining() {
+  [ ! -f "$REPO/.science/output/synthetic/convergence_20k_r5_default/quant_eval.json" ] && return 0
   [ ! -f "$REPO/.science/output/synthetic/llff_parallax_r5/quant.json" ] && return 0
   [ ! -f "$REPO/output/synthetic/barf_convergence_20k_r5/quant.json" ] && return 0
   [ ! -f "$REPO/.science/output/synthetic/convergence_20k_r5_appk128/quant.json" ] && return 0
