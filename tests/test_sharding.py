@@ -275,3 +275,45 @@ def test_trainer_rays_only_shardmap_matches_unsharded():
     se3_sh = np.asarray(tr_sh.state.params.se3_refine)
     assert np.abs(se3_ref).max() > 0
     np.testing.assert_allclose(se3_sh, se3_ref, rtol=0.1, atol=2e-4)
+
+
+def test_shardmap_depth_tv_grad_matches_unsharded():
+    """depth-TV under the rays shard_map: the stencil needs the full
+    per-view ray grid (all_gathered inside the step).  The all_gather
+    transpose is psum_scatter — it already sums the replicated cotangents
+    — so NO grad compensation is applied; this pins the parity the
+    round-5 review verified (a D*x-(D-1)*stop_grad rescale made the TV
+    grad exactly D times too large)."""
+    import dataclasses as dc
+
+    from joint_tensorf_tpu.parallel.sharding import rays_shardmap_vg
+
+    devices = jax.devices()
+    mesh = make_mesh(shape=(8, 1), axes=("rays", "comp"),
+                     devices=devices[:8])
+    vm_cfg, head, state, cfg = _tiny_setup()
+    cfg = dc.replace(cfg, grid_hw=(8, 16))      # 128 rays as an 8x16 grid
+    args = list(_inputs(cfg))
+    # give the TV term real weight so a mis-scaled grad shows in params
+    args[8] = dc.replace(args[8], tv_depth_weight=jnp.float32(0.05))
+    args = tuple(args)
+
+    ref_step = make_train_step(cfg, vm_cfg, head)
+    ref_state, ref_metrics = ref_step(state, *args)
+
+    raw = make_train_step(cfg, vm_cfg, head, jit=False,
+                          vg_transform=rays_shardmap_vg(mesh))
+    sharded = shard_train_step(raw, mesh, state, shard_components=False)
+    with mesh:
+        sh_state, sh_metrics = sharded(state, *args)
+
+    np.testing.assert_allclose(float(sh_metrics["loss"]),
+                               float(ref_metrics["loss"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sh_state.params.se3_refine),
+        np.asarray(ref_state.params.se3_refine), rtol=1e-3, atol=1e-6)
+    for p_ref, p_sh in zip(ref_state.params.field.density_planes,
+                           sh_state.params.field.density_planes):
+        np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref),
+                                   rtol=1e-3, atol=1e-6)
