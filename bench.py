@@ -511,7 +511,18 @@ def main():
         m_cn = measure(make_train_step(cfg_cn, vm_cfg, head), alpha_mask)
         cap.extras["ms_compacted_appknone_fused"] = round(
             m_cn["median_s"] * 1000, 1)
-        if bool(int(os.environ.get("JTF_BENCH_APPK_DENSE_ONLY", "0"))):
+        # bill the headline at the SHIPPED default (configs/base.yaml
+        # tpu.app_k_dense_only); JTF_BENCH_APPK_DENSE_ONLY overrides for
+        # experiments
+        try:
+            import yaml
+            with open(os.path.join(_REPO, "configs", "base.yaml")) as f:
+                _shipped = bool(yaml.safe_load(f)["tpu"]
+                                .get("app_k_dense_only", False))
+        except Exception:
+            _shipped = False
+        if bool(int(os.environ.get("JTF_BENCH_APPK_DENSE_ONLY",
+                                   str(int(_shipped))))):
             m_compact = m_cn
             cap.extras["app_k_compacted"] = None
             cap.record("compacted", m_cn)
