@@ -37,6 +37,13 @@ cpu_time() {  # total jiffies (utime+stime) of PID $1, 0 if gone
 
 run_arm() {  # run_arm <dir> <timeout_s> <logfile> <cmd...>
   local dir="$1" t="$2" lg="$3"; shift 3
+  # hard chip-release deadline: the driver's end-of-round bench needs the
+  # chip free; clamp every arm's timeout to the remaining window and
+  # refuse to start with <3 min left
+  local hard_end; hard_end="${Q5_HARD_END:-$(date -d 07:10 +%s)}"
+  local remain=$((hard_end - $(date +%s)))
+  [ "$remain" -lt 180 ] && { log "skip (past hard chip deadline): $*"; return 124; }
+  [ "$t" -gt "$remain" ] && t=$remain
   local tries=0
   while [ $tries -lt 2 ]; do
     tries=$((tries + 1))
@@ -122,7 +129,7 @@ stop_check
 # window (late tunnel recovery) would burn the chip time that the BARF +
 # appk128 arms COULD finish — skip B when started too late (round-5 round
 # ends ~07:45; 04:30 leaves the pair just enough).
-B_LATE="${Q5_B_DEADLINE:-$(date -d 04:30 +%s 2>/dev/null || echo 0)}"
+B_LATE="${Q5_B_DEADLINE:-$(date -d 04:00 +%s 2>/dev/null || echo 0)}"
 if [ "$(date +%s)" -gt "$B_LATE" ] 2>/dev/null; then
   log "arm B skipped: past its start deadline (late tunnel window)"
 elif [ ! -f "$WT/output/synthetic/llff_parallax_r5/quant.json" ]; then
