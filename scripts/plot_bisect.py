@@ -26,6 +26,8 @@ ARMS = [
     ("convergence_20k_r4_appknone", "dense appearance (no cap)", "#2a78d6"),
     ("convergence_20k_r4_appk64_blurmask",
      "app_k = 64 + blur-mask culling", "#8a5cc9"),
+    ("convergence_20k_r5_default",
+     "shipped defaults (auto-raise 64→128→192)", "#2e9e62"),
 ]
 INK, INK2, GRID = "#1a1a19", "#6b6a63", "#e5e4dd"
 
